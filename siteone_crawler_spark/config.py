@@ -1,0 +1,96 @@
+"""Crawl configuration — mirrors the reference's CoreOptions defaults
+(/root/reference/src/options/core_options.rs:328-380) plus the north-rule
+politeness superset (per-host budgets). One instance is broadcast per run.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    workers: int = 1  # parity fixtures pin workers=1 BFS semantics
+    max_reqs_per_sec: float = 10.0
+    max_queue_length: int = 9000
+    max_visited_urls: int = 10000
+    max_url_length: int = 2083
+    max_non200_per_basename: int = 5
+    max_depth: int = 0  # 0 = unlimited
+    ignore_robots_txt: bool = False
+    allowed_domains: tuple[str, ...] = ()  # wildcard patterns, e.g. *.example.test
+    include_regex: tuple[str, ...] = ()
+    ignore_regex: tuple[str, ...] = ()
+    remove_query_params: bool = False
+    keep_query_params: tuple[str, ...] = ()
+    crawl_assets: bool = True  # False ~ --crawl-only-html-files
+    single_page: bool = False
+    # north-rule politeness superset (reference politeness is global-only):
+    per_host_wave_budget: int = 0  # 0 = unlimited (parity mode)
+    max_waves: int = 0  # 0 = until frontier empty
+
+    def allowed_domain_regexes(self) -> list[re.Pattern]:
+        """`*.example.com` wildcard allowlist -> anchored regexes
+        (reference crawler.rs:1872-1880)."""
+        out = []
+        for pat in self.allowed_domains:
+            rx = "^" + ".*".join(re.escape(p) for p in pat.lower().split("*")) + "$"
+            out.append(re.compile(rx))
+        return out
+
+
+# SkippedReason codes (reference src/types.rs:173-179)
+SKIP_NOT_ALLOWED_HOST = 1
+SKIP_ROBOTS_TXT = 2
+SKIP_EXCEEDS_MAX_DEPTH = 3
+
+# UrlSource provenance codes (reference src/engine/found_url.rs:12-29)
+SOURCE_INIT_URL = 5
+SOURCE_A_HREF = 10
+SOURCE_IMG_SRC = 20
+SOURCE_IMG_SRCSET = 21
+SOURCE_INPUT_SRC = 22
+SOURCE_SOURCE_SRC = 23
+SOURCE_AUDIO_SRC = 24
+SOURCE_VIDEO_SRC = 25
+SOURCE_SCRIPT_SRC = 30
+SOURCE_LINK_HREF = 40
+SOURCE_CSS_URL = 50
+SOURCE_JS_URL = 60
+SOURCE_REDIRECT = 80
+SOURCE_SITEMAP = 90
+SOURCE_URL_LIST = 91
+
+SPAN_KIND_TO_SOURCE = {
+    "a_href": SOURCE_A_HREF,
+    "img_src": SOURCE_IMG_SRC,
+    "img_srcset": SOURCE_IMG_SRCSET,
+    "input_src": SOURCE_INPUT_SRC,
+    "source_src": SOURCE_SOURCE_SRC,
+    "audio_src": SOURCE_AUDIO_SRC,
+    "video_src": SOURCE_VIDEO_SRC,
+    "script_src": SOURCE_SCRIPT_SRC,
+    "link_href": SOURCE_LINK_HREF,
+    "css_url": SOURCE_CSS_URL,
+    "js_url": SOURCE_JS_URL,
+    "redirect_location": SOURCE_REDIRECT,
+    "sitemap_loc": SOURCE_SITEMAP,
+}
+
+# span kinds that are page-structure, not links
+NON_LINK_KINDS = ("text", "base_href")
+
+# asset-class span kinds (gated by --disable-* / crawl_assets)
+ASSET_KINDS = (
+    "img_src",
+    "img_srcset",
+    "input_src",
+    "source_src",
+    "audio_src",
+    "video_src",
+    "script_src",
+    "link_href",
+    "css_url",
+    "js_url",
+)

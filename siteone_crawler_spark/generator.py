@@ -1,0 +1,358 @@
+"""Deterministic synthetic site-graph generator.
+
+Produces the authoritative input shape from BASELINE.json input_hint:
+
+    docs(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+
+plus the fetch-layer sidecar `docs_meta`, per-host `robots` bodies and the
+`seeds` list (FIXTURES.md §1-3). Reproducible from
+(seed, n_hosts, docs_per_host, fanout) alone — no external data.
+
+The generated site deliberately exercises the reference's enqueue pipeline:
+relative/absolute/protocol-relative hrefs, uppercase hosts, fragments,
+&amp;-encoded queries, invalid schemes (mailto:/javascript:/data:), template
+garbage, duplicate links (first-wins dedup), shared assets (cross-page dedup
+pressure), external hosts (skipped NotAllowedHost), robots-disallowed paths
+(skipped RobotsTxt), redirects, 404 families for the basename circuit
+breaker, and dangling links (fetch failure -1).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("content_type_header", T.StringType()),
+        T.StructField("redirect_location", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("request_time_ms", T.DoubleType()),
+    ]
+)
+
+
+@dataclass
+class Site:
+    docs: list[dict] = field(default_factory=list)  # {doc_id, spans: [ {kind,text,media_ref,offset} ]}
+    meta: list[dict] = field(default_factory=list)
+    robots: dict[str, str] = field(default_factory=dict)  # host -> body
+    seeds: list[tuple[str, int]] = field(default_factory=list)  # (url, source_attr)
+    params: dict = field(default_factory=dict)
+
+    def docs_map(self) -> dict[str, list[dict]]:
+        return {d["doc_id"]: d["spans"] for d in self.docs}
+
+    def meta_map(self) -> dict[str, dict]:
+        return {m["doc_id"]: m for m in self.meta}
+
+
+def _host(i: int) -> str:
+    return f"h{i:04d}.example.test"
+
+
+def _latency(url: str, rng_seed: int) -> float:
+    # deterministic pseudo-latency derived from the url text
+    h = 0
+    for ch in url:
+        h = (h * 131 + ord(ch)) & 0x7FFFFFFF
+    return ((h ^ rng_seed) % 50000) / 10.0  # 0 .. 5000.0 ms
+
+
+def generate_site(
+    seed: int = 42,
+    n_hosts: int = 2,
+    docs_per_host: int = 30,
+    fanout: int = 3,
+    with_breaker_family: bool = True,
+    zipf_s: float = 0.0,
+) -> Site:
+    rng = random.Random(seed)
+    site = Site(
+        params=dict(
+            seed=seed,
+            n_hosts=n_hosts,
+            docs_per_host=docs_per_host,
+            fanout=fanout,
+            zipf_s=zipf_s,
+        )
+    )
+
+    hosts = [_host(i) for i in range(n_hosts)]
+    # Zipfian page allocation for skew benches; uniform otherwise
+    if zipf_s > 0:
+        weights = [1.0 / ((i + 1) ** zipf_s) for i in range(n_hosts)]
+        total = sum(weights)
+        counts = [max(2, int(round(docs_per_host * n_hosts * w / total))) for w in weights]
+    else:
+        counts = [docs_per_host] * n_hosts
+
+    page_urls: dict[str, list[str]] = {}
+    for hi, host in enumerate(hosts):
+        urls = [f"https://{host}/"]
+        for j in range(1, counts[hi]):
+            style = j % 5
+            if style == 0:
+                urls.append(f"https://{host}/a/b/p{j}.html")
+            elif style == 1:
+                urls.append(f"https://{host}/p/{j}")
+            elif style == 2:
+                urls.append(f"https://{host}/q{j}?x={j}&y=2")
+            elif style == 3:
+                urls.append(f"https://{host}/docs/d{j}.php")
+            else:
+                urls.append(f"https://{host}/p{j}")
+        page_urls[host] = urls
+
+    shared_assets = {
+        "css": "/static/site.css",
+        "js": "/static/app.js",
+        "img": "/img/logo.png",
+    }
+
+    def raw_href(target: str, host: str, page_url: str, k: int) -> str:
+        """Render an absolute target as one of several raw literal forms."""
+        style = k % 6
+        if style == 0:
+            return target
+        if style == 1:  # abs-path
+            return target.split(host, 1)[1] if host in target else target
+        if style == 2:  # protocol-relative, uppercase host
+            return "//" + host.upper() + (target.split(host, 1)[1] if host in target else "/")
+        if style == 3:  # with fragment
+            return target + "#sec" + str(k)
+        if style == 4:  # &amp;-encoded query
+            if "?" in target:
+                return target.replace("&", "&amp;")
+            return target + "?ref=nav&amp;k=" + str(k)
+        # relative to page dir
+        tpath = target.split(host, 1)[1] if host in target else "/"
+        return "../" + tpath.lstrip("/") if k % 2 else "./" + tpath.lstrip("/")
+
+    breaker_host = hosts[0]
+    breaker_urls = [
+        f"https://{breaker_host}/fam{k}/gone.php" for k in range(8)
+    ]  # same basename 'gone.php' -> circuit breaker after 5 non-200s
+
+    for hi, host in enumerate(hosts):
+        urls = page_urls[host]
+        n = len(urls)
+        for j, url in enumerate(urls):
+            spans: list[dict] = []
+            off = 0
+
+            def add(kind: str, text: str, media_ref: str = "") -> None:
+                nonlocal off
+                spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
+                off += 1
+
+            add("text", f"Welcome to page {j} of {host}. " * (1 + j % 3))
+            # intra-host nav links
+            for k in range(fanout):
+                tj = (j * fanout + k + 1) % n
+                target = urls[tj]
+                add("a_href", raw_href(target, host, url, j * fanout + k), target)
+            # a duplicate of the first nav link (first-wins dedup)
+            if fanout:
+                tj = (j * fanout + 1) % n
+                add("a_href", urls[tj], urls[tj])
+            add("text", f"Section body {j}. lorem ipsum dolor sit amet " * (1 + j % 2))
+            # shared assets on every page
+            add("link_href", shared_assets["css"], f"https://{host}{shared_assets['css']}")
+            add("script_src", shared_assets["js"], f"https://{host}{shared_assets['js']}")
+            add("img_src", shared_assets["img"], f"https://{host}{shared_assets['img']}")
+            # per-page image
+            if j % 4 == 0:
+                add("img_src", f"/img/pic{j}.webp", f"https://{host}/img/pic{j}.webp")
+            # invalid links (always dropped, never skipped-recorded)
+            if j % 3 == 0:
+                add("a_href", "mailto:info@example.test")
+                add("a_href", "javascript:void(0)")
+                add("a_href", "#top")
+                add("a_href", "{{ template_var }}")
+            # robots-disallowed path
+            if j % 5 == 1:
+                add("a_href", f"/private/secret{j}", f"https://{host}/private/secret{j}")
+            if j % 10 == 1:
+                add("a_href", "/private/open/ok", f"https://{host}/private/open/ok")
+            # external (not-allowed-host) links
+            if j % 4 == 1:
+                add(
+                    "a_href",
+                    f"https://external-{j % 3}.other.test/x{j}",
+                    f"https://external-{j % 3}.other.test/x{j}",
+                )
+            # cross-host link (allowed when allowlist covers *.example.test)
+            if n_hosts > 1 and j % 6 == 2:
+                other = hosts[(hi + 1) % n_hosts]
+                add("a_href", page_urls[other][j % len(page_urls[other])],
+                    page_urls[other][j % len(page_urls[other])])
+            # redirect hop
+            if j % 7 == 3:
+                add("a_href", f"/r/{j}", f"https://{host}/r/{j}")
+            # dangling link (no doc -> fetch failure -1)
+            if j % 9 == 4:
+                add("a_href", f"/void/nothing{j}", f"https://{host}/void/nothing{j}")
+            # breaker family links spread across pages of host 0
+            if with_breaker_family and host == breaker_host and j % 3 == 2:
+                for b in range(2):
+                    bu = breaker_urls[(j + b) % len(breaker_urls)]
+                    add("a_href", bu, bu)
+            add("text", "Footer. ")
+
+            site.docs.append({"doc_id": url, "spans": spans})
+            site.meta.append(
+                {
+                    "doc_id": url,
+                    "status_code": 200,
+                    "content_type_header": "text/html; charset=utf-8",
+                    "redirect_location": None,
+                    "size": 1000 + 37 * j + 11 * hi,
+                    "request_time_ms": _latency(url, seed),
+                }
+            )
+
+        # asset docs (fetchable, no outlinks)
+        asset_urls = [f"https://{host}{p}" for p in shared_assets.values()]
+        asset_urls += [f"https://{host}/img/pic{j}.webp" for j in range(0, n, 4)]
+        for au in asset_urls:
+            ct = (
+                "text/css"
+                if au.endswith(".css")
+                else "application/javascript"
+                if au.endswith(".js")
+                else "image/webp"
+                if au.endswith(".webp")
+                else "image/png"
+            )
+            site.docs.append({"doc_id": au, "spans": []})
+            site.meta.append(
+                {
+                    "doc_id": au,
+                    "status_code": 200,
+                    "content_type_header": ct,
+                    "redirect_location": None,
+                    "size": 200 + (len(au) * 7) % 900,
+                    "request_time_ms": _latency(au, seed),
+                }
+            )
+
+        # robots-allowed /private/open page
+        open_url = f"https://{host}/private/open/ok"
+        site.docs.append({"doc_id": open_url, "spans": []})
+        site.meta.append(
+            {
+                "doc_id": open_url,
+                "status_code": 200,
+                "content_type_header": "text/html",
+                "redirect_location": None,
+                "size": 321,
+                "request_time_ms": _latency(open_url, seed),
+            }
+        )
+
+        # redirect docs /r/{j} -> /p target
+        for j in range(n):
+            if j % 7 == 3:
+                ru = f"https://{host}/r/{j}"
+                target = page_urls[host][(j + 1) % n]
+                site.docs.append(
+                    {
+                        "doc_id": ru,
+                        "spans": [
+                            {"kind": "redirect_location", "text": target, "media_ref": target, "offset": 0}
+                        ],
+                    }
+                )
+                site.meta.append(
+                    {
+                        "doc_id": ru,
+                        "status_code": 301,
+                        "content_type_header": "text/html",
+                        "redirect_location": target,
+                        "size": 0,
+                        "request_time_ms": _latency(ru, seed),
+                    }
+                )
+
+        site.robots[host] = (
+            "# robots for " + host + "\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Allow: /private/open\n"
+            "Disallow: /*.tmp$\n"
+            "\n"
+            "User-agent: EvilBot\n"
+            "Disallow: /\n"
+            "\n"
+            f"Sitemap: https://{host}/sitemap.xml\n"
+        )
+
+    # breaker family: 404 docs (meta only — body irrelevant)
+    if with_breaker_family:
+        for bu in breaker_urls:
+            site.docs.append({"doc_id": bu, "spans": []})
+            site.meta.append(
+                {
+                    "doc_id": bu,
+                    "status_code": 404,
+                    "content_type_header": "text/html",
+                    "redirect_location": None,
+                    "size": 120,
+                    "request_time_ms": _latency(bu, seed),
+                }
+            )
+
+    site.seeds = [(f"https://{hosts[0]}/", 5)]  # 5 = InitUrl
+    rng.random()  # keep rng in the signature-stable path
+    return site
+
+
+def site_to_dfs(spark, site: Site):
+    """Materialize the site as Spark DataFrames (docs, docs_meta, robots, seeds)."""
+    docs = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s[k] for k in ("kind", "text", "media_ref", "offset")) for s in d["spans"]]) for d in site.docs],
+        schema=SPAN_SCHEMA,
+    )
+    meta = spark.createDataFrame(
+        [
+            (
+                m["doc_id"],
+                m["status_code"],
+                m["content_type_header"],
+                m["redirect_location"],
+                m["size"],
+                m["request_time_ms"],
+            )
+            for m in site.meta
+        ],
+        schema=META_SCHEMA,
+    )
+    robots = spark.createDataFrame(
+        [(h, 443, b) for h, b in site.robots.items()], "host string, port int, body string"
+    )
+    seeds = spark.createDataFrame(site.seeds, "url string, source_attr int")
+    return docs, meta, robots, seeds
