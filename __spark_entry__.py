@@ -1,38 +1,746 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship frontier-scheduling pipeline (the engine's
+wave expansion with real canonicalize/dedup/rank operators) over a docs table
+derived deterministically from /root/testdata/sf0.001/documents.parquet.
+
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data ops), each with a DuckDB `oracle_sql()`
+twin. Column names and values are aligned across engines: float aggregations
+go through decimal casts (order-independent exactness) and computed floats
+are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
 
 
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one frontier wave on a derived spans corpus — fetch join,
+    span explode, vectorized canonicalization UDF, robots gate, seen-set
+    anti-join, first-wins dedup, deterministic global ranking."""
+    from siteone_crawler_spark.config import CrawlConfig
+    from siteone_crawler_spark.engine import CrawlEngine
+    from siteone_crawler_spark.sources.docs import derive_meta, derive_spans_from_documents
+
+    sf_dir = "/root/testdata/sf0.001"
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = derive_spans_from_documents(documents, fanout=3, n_hosts=7)
+    meta = derive_meta(docs)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="spark_frontier_entry_")
+    cfg = CrawlConfig(allowed_domains=("*.corpus.test",))
+    eng = CrawlEngine(spark, cfg, ckpt, n_buckets=16)
+    robots = {f"h{i:02d}.corpus.test": "User-agent: *\nDisallow: /private/\n" for i in range(7)}
+    tables = eng.run(
+        docs, meta, robots, [("https://h00.corpus.test/p/0", 5)], max_waves=4
+    )
+    return tables["visited"].orderBy("seq")
 
 
+# ------------------------------------------------------- shared SQL snippets
+# derived URL corpus: identical construction in Spark SQL and DuckDB SQL
+_URLS_CTE = """
+WITH urls AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         'h' || lpad(cast(doc_id % 7 AS string), 2, '0') || '.corpus.test' AS host,
+         cast(doc_id % 3 AS int) AS variant
+  FROM documents
+), raw AS (
+  SELECT doc_id, host, variant,
+    CASE variant
+      WHEN 0 THEN 'HTTPS://' || upper(host) || '/p/' || cast(doc_id AS string) || '#frag'
+      WHEN 1 THEN 'https://' || host || ':443/a/b/' || cast(doc_id AS string) || '?x=1&y=2'
+      ELSE 'https://' || host || '/p/' || cast(doc_id % 50 AS string)
+    END AS raw_url,
+    CASE variant
+      WHEN 0 THEN 'https://' || host || '/p/' || cast(doc_id AS string)
+      WHEN 1 THEN 'https://' || host || '/a/b/' || cast(doc_id AS string) || '?x=1&y=2'
+      ELSE 'https://' || host || '/p/' || cast(doc_id % 50 AS string)
+    END AS canon_expected
+  FROM urls
+)
+"""
+
+# normalized-token expression, per dialect
+_TOKS_SPARK = "filter(split(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' '), x -> x <> '')"
+_TOKS_DUCK = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),"
+    " x -> x <> '')"
+)
+
+_STOP = {
+    "en": "'the','a','of','and','to','in','is','it','that','for'",
+    "es": "'el','la','de','y','que','en','los','se','del','las'",
+    "fr": "'le','la','de','et','les','des','en','un','du','une'",
+    "zh": "'de5','shi4','zai4','le5','he2','you3','wo3','ta1','zhe4','men5'",
+}
+
+
+def _hits(toks: str, lang: str, dialect: str) -> str:
+    fn = "filter" if dialect == "spark" else "list_filter"
+    sz = "size" if dialect == "spark" else "len"
+    return f"{sz}({fn}({toks}, x -> x IN ({_STOP[lang]})))"
+
+
+def _quality_sql(dialect: str) -> str:
+    toks = _TOKS_SPARK if dialect == "spark" else _TOKS_DUCK
+    sz = "size" if dialect == "spark" else "len"
+    g = ", 'g'" if dialect == "duck" else ""
+    n_tok = f"{sz}({toks})"
+    hits = _hits(toks, "en", dialect)
+    punct = f"(length(regexp_replace(text, '[a-zA-Z0-9 ]', ''{g})) * 1.0 / length(text))"
+    len_score = f"least({n_tok} / 100.0, 1.0)"
+    sw_score = f"least((CASE WHEN {n_tok} > 0 THEN {hits} * 1.0 / {n_tok} ELSE 0.0 END) * 5.0, 1.0)"
+    punct_pen = f"greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN {punct} ELSE 0.0 END) * 4.0)"
+    return f"round(0.4 * {len_score} + 0.3 * {sw_score} + 0.3 * {punct_pen}, 6)"
+
+
+def _lang_sql(dialect: str) -> str:
+    toks = _TOKS_SPARK if dialect == "spark" else _TOKS_DUCK
+    h = {lang: _hits(toks, lang, dialect) for lang in _STOP}
+    return (
+        "CASE "
+        f"WHEN {h['en']} >= {h['es']} AND {h['en']} >= {h['fr']} AND {h['en']} >= {h['zh']} AND {h['en']} > 0 THEN 'en' "
+        f"WHEN {h['es']} >= {h['fr']} AND {h['es']} >= {h['zh']} AND {h['es']} > 0 THEN 'es' "
+        f"WHEN {h['fr']} >= {h['zh']} AND {h['fr']} > 0 THEN 'fr' "
+        f"WHEN {h['zh']} > 0 THEN 'zh' "
+        "ELSE 'und' END"
+    )
+
+
+def _fp_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return f"md5(array_join({_TOKS_SPARK}, ' '))"
+    return f"md5(array_to_string({_TOKS_DUCK}, ' '))"
+
+
+def _shingles_sql(dialect: str, n: int = 3) -> str:
+    """n-word shingles over normalized tokens; requires len(toks) >= n."""
+    if dialect == "spark":
+        t = _TOKS_SPARK
+        return (
+            f"transform(sequence(1, size({t}) - {n - 1}),"
+            f" i -> array_join(slice({t}, i, {n}), ' '))"
+        )
+    t = _TOKS_DUCK
+    return (
+        f"list_transform(generate_series(1, len({t}) - {n - 1}),"
+        f" i -> array_to_string({t}[i:i+{n - 1}], ' '))"
+    )
+
+
+# ----------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def sqlq(sql: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _register(spark, sf_dir)
+            return spark.sql(sql)
+
+        return run
+
+    # ---- crawl-semantic operators (F1-F2, J1, W5, P5) over derived URLs ----
+    def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """F1/F2: the real canonicalization pandas UDF (scheme/host lowering,
+        default-port elision, fragment strip) + md5 uq_id."""
+        from siteone_crawler_spark.functions.urls import make_resolve_udf
+
+        _register(spark, sf_dir)
+        raw = spark.sql(_URLS_CTE + "SELECT doc_id, raw_url FROM raw")
+        udf = make_resolve_udf("h00.corpus.test", "https")
+        return raw.select(
+            "doc_id",
+            udf(F.col("raw_url"), F.col("raw_url")).alias("r"),
+        ).select(
+            "doc_id",
+            F.col("r.canon_url").alias("canon_url"),
+            F.col("r.uq_id").alias("uq_id"),
+            F.col("r.host").alias("host"),
+            F.col("r.depth").cast("int").alias("depth"),
+        )
+
+    q["url_canonicalize"] = q_url_canonicalize
+
+    def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """J1-style first-wins dedup on canonical keys (discovery order =
+        doc_id): keeper + reference count per canonical URL."""
+        from siteone_crawler_spark.functions.urls import make_resolve_udf
+
+        _register(spark, sf_dir)
+        raw = spark.sql(_URLS_CTE + "SELECT doc_id, raw_url FROM raw")
+        udf = make_resolve_udf("h00.corpus.test", "https")
+        c = raw.select("doc_id", udf(F.col("raw_url"), F.col("raw_url")).alias("r"))
+        return (
+            c.groupBy(F.col("r.canon_url").alias("canon_url"))
+            .agg(
+                F.min("doc_id").alias("keeper"),
+                F.count("*").alias("n_refs"),
+            )
+        )
+
+    q["url_dedup_first_wins"] = q_url_dedup
+
+    def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """J1: candidates anti-join the seen set (left_anti — the workhorse
+        of frontier dedup)."""
+        from siteone_crawler_spark.functions.urls import make_resolve_udf
+
+        _register(spark, sf_dir)
+        raw = spark.sql(_URLS_CTE + "SELECT doc_id, variant, raw_url FROM raw")
+        udf = make_resolve_udf("h00.corpus.test", "https")
+        c = raw.select(
+            "doc_id", "variant", udf(F.col("raw_url"), F.col("raw_url"))["canon_url"].alias("canon_url")
+        )
+        candidates = c.filter(F.col("variant") == 2).select("canon_url").distinct()
+        seen = c.filter(F.col("doc_id") % 2 == 0).select("canon_url").distinct()
+        return candidates.join(seen, "canon_url", "left_anti")
+
+    q["seen_antijoin"] = q_seen_antijoin
+
+    q["frontier_rank"] = sqlq(
+        _URLS_CTE
+        + """
+        SELECT row_number() OVER (ORDER BY variant, doc_id) - 1 AS seq,
+               canon_expected AS canon_url
+        FROM raw"""
+    )
+
+    def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """P5/F11: the robots wildcard matcher UDF over broadcast rules."""
+        from siteone_crawler_spark.functions.robots import compile_rules_map, is_allowed
+
+        _register(spark, sf_dir)
+        paths = spark.sql(
+            """
+            SELECT cast(doc_id AS bigint) AS doc_id,
+              CASE cast(doc_id % 5 AS int)
+                WHEN 0 THEN '/private/x' || cast(doc_id AS string)
+                WHEN 1 THEN '/private/open/x' || cast(doc_id AS string)
+                ELSE '/p/' || cast(doc_id AS string)
+              END AS path
+            FROM documents"""
+        )
+        rules = compile_rules_map(
+            {"h.corpus.test": "User-agent: *\nDisallow: /private/\nAllow: /private/open\n"}
+        )
+        bc = spark.sparkContext.broadcast(rules)
+
+        @F.pandas_udf("boolean")
+        def robots_ok(path: pd.Series) -> pd.Series:
+            r = bc.value["h.corpus.test"]
+            return pd.Series([is_allowed(r, p) for p in path])
+
+        return paths.select("doc_id", "path", robots_ok(F.col("path")).alias("allowed"))
+
+    q["robots_gate"] = q_robots_gate
+
+    # ---- analyzer aggregations (§2.4) on driver testdata --------------------
+    q["tpch_q1"] = sqlq(
+        """
+        SELECT l_returnflag, l_linestatus,
+          cast(sum(cast(l_quantity AS decimal(18,6))) AS double) AS sum_qty,
+          cast(sum(cast(l_extendedprice AS decimal(18,6))) AS double) AS sum_base,
+          cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))) AS double) AS sum_disc,
+          round(cast(sum(cast(l_quantity AS decimal(18,6))) AS double) / count(*), 6) AS avg_qty,
+          count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""
+    )
+
+    q["basic_stats"] = sqlq(
+        """
+        SELECT count(*) AS total_events,
+          cast(sum(cast(value AS decimal(20,8))) AS double) AS total_value,
+          round(cast(sum(cast(value AS decimal(20,8))) AS double) / count(*), 6) AS avg_value,
+          cast(min(value) AS double) AS min_value,
+          cast(max(value) AS double) AS max_value,
+          count(DISTINCT user_id) AS n_users
+        FROM events"""
+    )
+
+    q["count_by_status"] = sqlq(
+        "SELECT o_orderstatus AS status, count(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+
+    q["content_type_stats"] = sqlq(
+        """
+        SELECT lang,
+          count(*) AS n,
+          sum(n_chars) AS total_chars,
+          round(cast(sum(cast(n_chars AS decimal(18,4))) AS double) / count(*), 6) AS avg_chars
+        FROM documents GROUP BY lang"""
+    )
+
+    q["source_domain_stats"] = sqlq(
+        """
+        SELECT source, lang, count(*) AS n, sum(n_chars) AS total_chars
+        FROM documents GROUP BY source, lang"""
+    )
+
+    q["top_slowest"] = sqlq(
+        """
+        SELECT event_id, cast(value AS double) AS value FROM events
+        ORDER BY value DESC, event_id ASC LIMIT 20"""
+    )
+
+    q["top_fastest"] = sqlq(
+        """
+        SELECT event_id, cast(value AS double) AS value FROM events
+        ORDER BY value ASC, event_id ASC LIMIT 20"""
+    )
+
+    q["duplicate_titles"] = sqlq(
+        """
+        SELECT substr(text, 1, 25) AS title, count(*) AS n, min(doc_id) AS first_doc
+        FROM documents GROUP BY substr(text, 1, 25) HAVING count(*) > 1"""
+    )
+
+    q["headers_stats"] = sqlq(
+        """
+        SELECT event_type,
+          count(*) AS n,
+          count(DISTINCT user_id) AS n_users,
+          min(cast(get_json_object(props, '$.k') AS int)) AS min_k,
+          max(cast(get_json_object(props, '$.k') AS int)) AS max_k
+        FROM events GROUP BY event_type"""
+    )
+
+    q["window_rank"] = sqlq(
+        """
+        SELECT user_id, event_id, rn FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) t
+        WHERE rn <= 3"""
+    )
+
+    q["sessionize"] = sqlq(
+        """
+        WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN unix_timestamp(ts) - unix_timestamp(
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id"""
+    )
+
+    q["windowed_counts"] = sqlq(
+        """
+        SELECT cast(date_trunc('hour', ts) AS string) AS hour_bucket,
+               event_type, count(*) AS n
+        FROM events GROUP BY date_trunc('hour', ts), event_type"""
+    )
+
+    # ---- training-data operators -------------------------------------------
+    q["dedup_exact"] = sqlq(
+        f"""
+        SELECT {_fp_sql('spark')} AS fp, count(*) AS n_docs, min(doc_id) AS keeper
+        FROM documents GROUP BY {_fp_sql('spark')}"""
+    )
+
+    q["token_count"] = sqlq(
+        f"""
+        SELECT lang, sum(size({_TOKS_SPARK})) AS total_tokens,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang"""
+    )
+
+    q["quality_score"] = sqlq(
+        f"""
+        SELECT source,
+          round(cast(sum(cast({_quality_sql('spark')} AS decimal(18,8))) AS double) / count(*), 6) AS avg_quality,
+          count(*) AS n
+        FROM documents GROUP BY source"""
+    )
+
+    q["lang_id"] = sqlq(
+        f"""
+        SELECT doc_id, {_lang_sql('spark')} AS lang_guess, lang AS lang_actual
+        FROM documents"""
+    )
+
+    q["doc_fingerprint"] = sqlq(
+        f"SELECT doc_id, {_fp_sql('spark')} AS fp FROM documents"
+    )
+
+    q["minhash_signatures"] = sqlq(
+        f"""
+        WITH sh AS (
+          SELECT doc_id, explode({_shingles_sql('spark')}) AS shingle
+          FROM documents
+          WHERE doc_id < 100 AND size({_TOKS_SPARK}) >= 3
+        ), seeded AS (
+          SELECT doc_id, shingle, explode(sequence(0, 3)) AS seed FROM sh
+        )
+        SELECT doc_id, seed,
+               min(md5(cast(seed AS string) || '|' || shingle)) AS minhash
+        FROM seeded GROUP BY doc_id, seed"""
+    )
+
+    q["minhash_lsh_pairs"] = sqlq(
+        f"""
+        WITH sh AS (
+          SELECT doc_id, explode({_shingles_sql('spark')}) AS shingle
+          FROM documents
+          WHERE doc_id < 200 AND size({_TOKS_SPARK}) >= 3
+        ), seeded AS (
+          SELECT doc_id, shingle, explode(sequence(0, 3)) AS seed FROM sh
+        ), sig AS (
+          SELECT doc_id, seed,
+                 min(md5(cast(seed AS string) || '|' || shingle)) AS minhash
+          FROM seeded GROUP BY doc_id, seed
+        ), bands AS (
+          SELECT doc_id, cast(seed / 2 AS int) AS band,
+                 md5(array_join(array_sort(collect_list(minhash)), ',')) AS band_key
+          FROM sig GROUP BY doc_id, cast(seed / 2 AS int)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id"""
+    )
+
+    # ---- set ops / grouping sets / semi-joins / ordering sinks ------------
+    q["sitemap_order"] = sqlq(
+        _URLS_CTE
+        + """
+        SELECT canon_expected AS url,
+               length(canon_expected) - length(replace(canon_expected, '/', '')) AS slashes,
+               cast(round(greatest(0.1, least(1.0, 1.0 - 0.1 *
+                 (length(canon_expected) - length(replace(canon_expected, '/', '')) - 3))), 2)
+                 AS double) AS priority
+        FROM raw WHERE variant <> 1
+        ORDER BY slashes ASC, url ASC"""
+    )
+
+    q["union_distinct"] = sqlq(
+        """
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        UNION
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0"""
+    )
+
+    q["semi_join_exists"] = sqlq(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)"""
+    )
+
+    q["cube_stats"] = sqlq(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n, sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY CUBE (lang, source)"""
+    )
+
+    q["existence_flags"] = sqlq(
+        """
+        SELECT max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+               max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error,
+               max(CASE WHEN value > 1000000 THEN 1 ELSE 0 END) AS has_huge_value
+        FROM events"""
+    )
+
+    q["join_agg_enrich"] = sqlq(
+        """
+        SELECT n.n_name AS nation, count(*) AS n_customers,
+          cast(sum(cast(c.c_acctbal AS decimal(18,4))) AS double) AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name"""
+    )
+
+    def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Brute-force cosine top-k (native zip_with/aggregate dot product)."""
+        from siteone_crawler_spark.operators.similarity import cosine_topk
+
+        _register(spark, sf_dir)
+        emb = spark.table("embeddings")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return cosine_topk(emb, qv, k=10)
+
+    q["knn_cosine_topk"] = q_knn
+
+    def q_knn_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SRP/LSH-bucketed approximate nearest neighbors (scale path).
+        No SQL oracle (bucketing is engine-specific); rows-only check."""
+        from siteone_crawler_spark.operators.similarity import srp_topk
+
+        _register(spark, sf_dir)
+        emb = spark.table("embeddings")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return srp_topk(emb, qv, k=10, n_planes=6, multiprobe_hamming=1)
+
+    q["knn_srp_topk"] = q_knn_srp
+
+    def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SimHash near-dup pairs (Hamming-LSH blocked). No SQL oracle (bit
+        voting); rows-only check + unit tests."""
+        from siteone_crawler_spark.operators.dedup import simhash_near_pairs
+
+        _register(spark, sf_dir)
+        return simhash_near_pairs(spark.table("documents"), max_hamming=12)
+
+    q["simhash_near_pairs"] = q_simhash_pairs
+
+    return q
 
 
+# -------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["url_canonicalize"] = (
+        _URLS_CTE
+        + """
+        SELECT doc_id, canon_expected AS canon_url,
+               substr(md5(canon_expected), 1, 8) AS uq_id,
+               host,
+               CASE variant WHEN 1 THEN 3 ELSE 2 END AS depth
+        FROM raw"""
+    )
+
+    o["url_dedup_first_wins"] = (
+        _URLS_CTE
+        + """
+        SELECT canon_expected AS canon_url, min(doc_id) AS keeper, count(*) AS n_refs
+        FROM raw GROUP BY canon_expected"""
+    )
+
+    o["seen_antijoin"] = (
+        _URLS_CTE
+        + """
+        SELECT DISTINCT canon_expected AS canon_url FROM raw r1
+        WHERE variant = 2 AND NOT EXISTS (
+          SELECT 1 FROM raw r2
+          WHERE r2.doc_id % 2 = 0 AND r2.canon_expected = r1.canon_expected)"""
+    )
+
+    o["frontier_rank"] = (
+        _URLS_CTE
+        + """
+        SELECT row_number() OVER (ORDER BY variant, doc_id) - 1 AS seq,
+               canon_expected AS canon_url
+        FROM raw"""
+    )
+
+    o["robots_gate"] = """
+        SELECT cast(doc_id AS bigint) AS doc_id,
+          CASE cast(doc_id % 5 AS int)
+            WHEN 0 THEN '/private/x' || cast(doc_id AS string)
+            WHEN 1 THEN '/private/open/x' || cast(doc_id AS string)
+            ELSE '/p/' || cast(doc_id AS string)
+          END AS path,
+          (doc_id % 5) <> 0 AS allowed
+        FROM documents"""
+
+    o["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+          cast(sum(cast(l_quantity AS decimal(18,6))) AS double) AS sum_qty,
+          cast(sum(cast(l_extendedprice AS decimal(18,6))) AS double) AS sum_base,
+          cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))) AS double) AS sum_disc,
+          round(cast(sum(cast(l_quantity AS decimal(18,6))) AS double) / count(*), 6) AS avg_qty,
+          count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""
+
+    o["basic_stats"] = """
+        SELECT count(*) AS total_events,
+          cast(sum(cast(value AS decimal(20,8))) AS double) AS total_value,
+          round(cast(sum(cast(value AS decimal(20,8))) AS double) / count(*), 6) AS avg_value,
+          cast(min(value) AS double) AS min_value,
+          cast(max(value) AS double) AS max_value,
+          count(DISTINCT user_id) AS n_users
+        FROM events"""
+
+    o["count_by_status"] = (
+        "SELECT o_orderstatus AS status, count(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+
+    o["content_type_stats"] = """
+        SELECT lang, count(*) AS n, sum(n_chars) AS total_chars,
+          round(cast(sum(cast(n_chars AS decimal(18,4))) AS double) / count(*), 6) AS avg_chars
+        FROM documents GROUP BY lang"""
+
+    o["source_domain_stats"] = """
+        SELECT source, lang, count(*) AS n, sum(n_chars) AS total_chars
+        FROM documents GROUP BY source, lang"""
+
+    o["top_slowest"] = """
+        SELECT event_id, cast(value AS double) AS value FROM events
+        ORDER BY value DESC, event_id ASC LIMIT 20"""
+
+    o["top_fastest"] = """
+        SELECT event_id, cast(value AS double) AS value FROM events
+        ORDER BY value ASC, event_id ASC LIMIT 20"""
+
+    o["duplicate_titles"] = """
+        SELECT substr(text, 1, 25) AS title, count(*) AS n, min(doc_id) AS first_doc
+        FROM documents GROUP BY substr(text, 1, 25) HAVING count(*) > 1"""
+
+    o["headers_stats"] = """
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+          min(cast(json_extract_string(props, '$.k') AS int)) AS min_k,
+          max(cast(json_extract_string(props, '$.k') AS int)) AS max_k
+        FROM events GROUP BY event_type"""
+
+    o["window_rank"] = """
+        SELECT user_id, event_id, rn FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) t
+        WHERE rn <= 3"""
+
+    o["sessionize"] = """
+        WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN epoch(ts) - epoch(
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id"""
+
+    o["windowed_counts"] = """
+        SELECT cast(date_trunc('hour', ts) AS string) AS hour_bucket,
+               event_type, count(*) AS n
+        FROM events GROUP BY date_trunc('hour', ts), event_type"""
+
+    o["dedup_exact"] = f"""
+        SELECT {_fp_sql('duck')} AS fp, count(*) AS n_docs, min(doc_id) AS keeper
+        FROM documents GROUP BY {_fp_sql('duck')}"""
+
+    o["token_count"] = f"""
+        SELECT lang, sum(len({_TOKS_DUCK})) AS total_tokens, count(*) AS n_docs
+        FROM documents GROUP BY lang"""
+
+    o["quality_score"] = f"""
+        SELECT source,
+          round(cast(sum(cast({_quality_sql('duck')} AS decimal(18,8))) AS double) / count(*), 6) AS avg_quality,
+          count(*) AS n
+        FROM documents GROUP BY source"""
+
+    o["lang_id"] = f"""
+        SELECT doc_id, {_lang_sql('duck')} AS lang_guess, lang AS lang_actual
+        FROM documents"""
+
+    o["doc_fingerprint"] = f"SELECT doc_id, {_fp_sql('duck')} AS fp FROM documents"
+
+    o["minhash_signatures"] = f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_shingles_sql('duck')}) AS shingle
+          FROM documents
+          WHERE doc_id < 100 AND len({_TOKS_DUCK}) >= 3
+        ), seeded AS (
+          SELECT doc_id, shingle, unnest(generate_series(0, 3)) AS seed FROM sh
+        )
+        SELECT doc_id, seed,
+               min(md5(cast(seed AS string) || '|' || shingle)) AS minhash
+        FROM seeded GROUP BY doc_id, seed"""
+
+    o["minhash_lsh_pairs"] = f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_shingles_sql('duck')}) AS shingle
+          FROM documents
+          WHERE doc_id < 200 AND len({_TOKS_DUCK}) >= 3
+        ), seeded AS (
+          SELECT doc_id, shingle, unnest(generate_series(0, 3)) AS seed FROM sh
+        ), sig AS (
+          SELECT doc_id, seed,
+                 min(md5(cast(seed AS string) || '|' || shingle)) AS minhash
+          FROM seeded GROUP BY doc_id, seed
+        ), bands AS (
+          SELECT doc_id, cast(floor(seed / 2) AS int) AS band,
+                 md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+          FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS int)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id"""
+
+    o["sitemap_order"] = (
+        _URLS_CTE
+        + """
+        SELECT canon_expected AS url,
+               length(canon_expected) - length(replace(canon_expected, '/', '')) AS slashes,
+               cast(round(greatest(0.1, least(1.0, 1.0 - 0.1 *
+                 (length(canon_expected) - length(replace(canon_expected, '/', '')) - 3))), 2)
+                 AS double) AS priority
+        FROM raw WHERE variant <> 1
+        ORDER BY slashes ASC, url ASC"""
+    )
+
+    o["union_distinct"] = """
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        UNION
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0"""
+
+    o["semi_join_exists"] = """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)"""
+
+    o["cube_stats"] = """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n, sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY CUBE (lang, source)"""
+
+    o["existence_flags"] = """
+        SELECT max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+               max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error,
+               max(CASE WHEN value > 1000000 THEN 1 ELSE 0 END) AS has_huge_value
+        FROM events"""
+
+    o["join_agg_enrich"] = """
+        SELECT n.n_name AS nation, count(*) AS n_customers,
+          cast(sum(cast(c.c_acctbal AS decimal(18,4))) AS double) AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name"""
+
+    o["knn_cosine_topk"] = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(cast(embedding AS double[]),
+                                            cast(qv AS double[])), 6) AS cos
+        FROM embeddings, q
+        ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+    # knn_srp_topk, simhash_near_pairs: intentionally no oracle (engine-
+    # specific bucketing / bit voting) -> driver rows-only check
+    return o

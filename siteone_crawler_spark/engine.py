@@ -1,0 +1,709 @@
+"""CrawlEngine — the iterative BFS wave driver.
+
+Re-architecture of the reference's tokio worker loop
+(/root/reference/src/engine/crawler.rs:222-391: FIFO dequeue, per-URL task,
+shared DashMap state) as deterministic Spark dataflow. One wave =
+
+    pending(K) ⋈ docs ⋈ docs_meta             (the synthetic "fetch")
+      → basename circuit-breaker pre-check     (crawler.rs:506-525)
+      → explode spans → resolve/canonicalize   (pandas UDF, crawler.rs:1020+)
+      → host / breaker / robots / regex /      (enqueue pipeline,
+        suitability filters                     crawler.rs:1055-1306)
+      → anti-join seen (bloom + bucketed exact) (crawler.rs:1287-1297)
+      → first-wins dedup + deterministic rank   (crawler.rs:1232-1242)
+      → caps → frontier(K+1), visited, skipped, events, metrics
+      → checkpoint commit (atomic manifest bump)
+
+State tables (sources/checkpoint.py):
+  frontier   append-only discovery log: ONE row per enqueued URL, wave =
+             discovery wave; doubles as the exact seen set and the order
+             source (seq is the global enqueue == dequeue sequence).
+  deferred   politeness-deferred pending rows, indexed by the wave that will
+             process them (empty in parity mode).
+  visited / skipped / events / metrics / blooms  as named.
+
+Crawl order parity: the reference's FIFO queue yields enqueue order ==
+dequeue order; we reproduce it by ranking each wave's accepted candidates by
+the unique compound key (parent_seq, span_offset) and assigning a cumulative
+global `seq`. At workers=1 the reference's order is exactly this (BASELINE.md
+note); tests/test_frontier_parity.py asserts equality against the simulator.
+
+Scale notes (local[32] here, 1000 executors in spirit):
+  - no driver-side row loops: per-row logic lives in two Arrow-batched UDFs
+    (resolve, robots) and one narrow applyInPandas (breaker, only over
+    at-risk basename groups);
+  - the wave rank avoids a single-partition window (operators/ordering.py);
+  - seen-set dedup is bloom-prefiltered so only maybe-seen candidates join
+    (operators/seen.py);
+  - every wave's state lands in the checkpoint store, so lineage is cut per
+    wave (no ever-growing plan) and a killed run resumes bit-identically.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .config import (
+    ASSET_KINDS,
+    NON_LINK_KINDS,
+    SKIP_NOT_ALLOWED_HOST,
+    SKIP_ROBOTS_TXT,
+    SPAN_KIND_TO_SOURCE,
+    CrawlConfig,
+)
+from .functions.robots import compile_rules_map, is_allowed
+from .functions.urls import HTMLISH_EXTENSIONS, canonicalize, make_resolve_udf
+from .operators.ordering import with_global_seq
+from .operators.seen import BloomState, SeenSet, key_bucket
+from .sources.checkpoint import CheckpointStore
+
+FRONTIER_SCHEMA = (
+    "url string, url_key string, uq_id string, host string, path string, ext string,"
+    " depth int, wave int, seq long, source_uq_id string, source_attr int"
+)
+VISITED_SCHEMA = FRONTIER_SCHEMA + (
+    ", status_code int, content_type_header string, size long, request_time_ms double"
+)
+SKIPPED_SCHEMA = (
+    "url string, url_key string, reason int, source_uq_id string, source_attr int, wave int,"
+    " parent_seq long, offset int"
+)
+EVENTS_SCHEMA = "basename string, seq long"
+METRICS_SCHEMA = "wave int, stage string, rows long"
+
+
+def _wildcard_to_java_regex(pattern: str) -> str:
+    return "^" + ".*".join(re.escape(p) for p in pattern.lower().split("*")) + "$"
+
+
+def _kind_to_attr_expr():
+    mapping = F.create_map(
+        *[x for k, v in SPAN_KIND_TO_SOURCE.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return F.coalesce(mapping[F.col("kind")], F.lit(10))
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        checkpoint_dir: str,
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.config = config
+        self.store = CheckpointStore(spark, checkpoint_dir)
+        self.seen = SeenSet(spark, n_buckets=n_buckets)
+        self.n_enqueued = 0
+        self._wave_caches: list[DataFrame] = []
+        self._wave_seq_start: dict[int, int] = {}
+        self._bloom_ready = False
+        # basename -> sorted non-200 event seqs. BOUNDED state: once a
+        # basename accumulates max_non200 events the pre-check short-circuits
+        # further fetches to -6 (which are NOT events), so each basename holds
+        # at most ~max_non200 (+ wave concurrency margin) entries — reference
+        # semantics (crawler.rs:506-525, 1440-1451) make this driver-safe.
+        self._basename_events: dict[str, list[int]] = {}
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        docs: DataFrame,
+        meta: DataFrame,
+        robots_bodies: dict[str, str],
+        seeds: list[tuple[str, int]],
+        max_waves: int | None = None,
+        external_frontier: DataFrame | None = None,
+    ) -> dict:
+        cfg = self.config
+        sc = self.spark.sparkContext
+        first = canonicalize(seeds[0][0])
+        self.initial_host, self.initial_scheme = first["host"], first["scheme"]
+        rules = compile_rules_map(robots_bodies)
+        self._rules_bc = sc.broadcast(rules)
+        self._resolve = make_resolve_udf(
+            self.initial_host,
+            self.initial_scheme,
+            cfg.remove_query_params,
+            list(cfg.keep_query_params) or None,
+            robots_rules=None if cfg.ignore_robots_txt else rules,
+        )
+        docs = docs.withColumnRenamed("doc_id", "__doc_url")
+        meta = meta.withColumnRenamed("doc_id", "__meta_url")
+
+        manifest = self.store.read_manifest()
+        if manifest["last_wave"] >= 0:
+            if manifest.get("done"):
+                return self._final_tables(manifest["last_wave"])
+            wave = manifest["last_wave"] + 1
+            self._restore_state(manifest["last_wave"])
+        elif external_frontier is not None:
+            wave = 0
+            self.seed_frontier(external_frontier)
+        else:
+            wave = 0
+            self._bootstrap(seeds)
+
+        limit = max_waves if max_waves is not None else (cfg.max_waves or 100_000)
+        waves_run = 0
+        while waves_run < limit:
+            # pending size from parquet footers — no Spark job
+            n_pending = self.store.count_rows("frontier", wave) + self.store.count_rows(
+                "deferred", wave
+            )
+            if n_pending == 0:
+                self.store.commit_wave(wave - 1, done=True)
+                break
+            self._run_wave(wave, self._pending(wave), docs, meta, n_pending)
+            wave += 1
+            waves_run += 1
+        return self._final_tables(self.store.read_manifest()["last_wave"])
+
+    # ----------------------------------------------------------- bootstrap
+    def _bootstrap(self, seeds: list[tuple[str, int]]) -> None:
+        rows = [(u, u, -1, i, "seed", attr, "") for i, (u, attr) in enumerate(seeds)]
+        cand = self.spark.createDataFrame(
+            rows,
+            "base string, href string, parent_seq long, offset int, kind string,"
+            " source_attr int, source_uq_id string",
+        )
+        accepted, skipped = self._candidate_pipeline(cand, wave=0, events_agg=None)
+        self.store.write_table("skipped", 0, skipped)
+        self._finalize_frontier(accepted, wave=0)
+        for h in self._wave_caches:
+            h.unpersist()
+        self._wave_caches.clear()
+
+    def seed_frontier(self, frontier: DataFrame) -> None:
+        """Install an externally-built wave-0 frontier (FRONTIER_SCHEMA
+        columns, url_key distinct, seq pre-assigned 0..N-1). Used by the
+        steady-state benchmark and by callers resuming from external state."""
+        self.store.write_table("frontier", 0, frontier, max_files=32)
+        n = self.store.count_rows("frontier", 0)
+        self.seen._keys = (
+            self.store.read_wave("frontier", 0, FRONTIER_SCHEMA)
+            .select("url_key")
+            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+        )
+        self._wave_seq_start[0] = 0
+        self.n_enqueued = n
+        if n >= self.seen.bloom_min_keys:
+            self.seen.bloom.add_keys(self.seen.keys.toPandas())
+            self._bloom_ready = True
+
+    def _restore_state(self, last_wave: int) -> None:
+        # frontier rows discovered while processing last_wave live at index
+        # last_wave+1 — they are already committed state (manifest bumped
+        # after finalize), so the seen set must include them
+        keys = (
+            self.store.read_all("frontier", last_wave + 1, FRONTIER_SCHEMA)
+            .select("url_key")
+            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+        )
+        self.seen._keys = keys
+        self.n_enqueued = keys.count()
+        self._wave_seq_start[last_wave + 1] = self.n_enqueued - self.store.count_rows(
+            "frontier", last_wave + 1
+        )
+        for w in range(last_wave + 1):
+            self._absorb_events(w)
+        bloom_rows = self.store.read_wave(
+            "blooms", last_wave + 1, "bucket int, bits binary"
+        ).collect()
+        if bloom_rows:
+            self.seen.bloom = BloomState.from_rows(
+                [(r["bucket"], r["bits"]) for r in bloom_rows],
+                self.seen.n_buckets,
+                self.seen.bloom.m,
+                self.seen.bloom.k,
+            )
+            self._bloom_ready = True
+        elif self.n_enqueued >= self.seen.bloom_min_keys:
+            self.seen.bloom.add_keys(keys.toPandas())
+            self._bloom_ready = True
+
+    def _pending(self, wave: int) -> DataFrame:
+        newly = self.store.read_wave("frontier", wave, FRONTIER_SCHEMA)
+        deferred = self.store.read_wave("deferred", wave, FRONTIER_SCHEMA)
+        return newly.unionByName(deferred)
+
+    # ------------------------------------------------------------ the wave
+    def _run_wave(
+        self, wave: int, pending: DataFrame, docs: DataFrame, meta: DataFrame,
+        n_pending: int = 0,
+    ) -> None:
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("SPARK_FRONTIER_DEBUG") == "1"
+        _t = _time.time()
+
+        def _mark(stage: str) -> None:
+            nonlocal _t
+            if _dbg:
+                now = _time.time()
+                print(f"[wave {wave}] {stage}: {now - _t:.1f}s", flush=True)
+                _t = now
+
+        cfg = self.config
+        metrics: list[tuple[int, str, int]] = []
+
+        # politeness admission (north-rule superset; parity mode admits all)
+        admitted, deferred = self._admit(pending)
+        if deferred is not None:
+            self.store.write_table("deferred", wave + 1, deferred)
+
+        # "fetch": join docs + meta (S1 analog — in a real deployment this is
+        # a mapInPandas batch HTTP fetcher; here the docs table IS the web).
+        # Persist the RAW join: the breaker pre-check branches over it twice
+        # (wave_bad aggregate + main path), and visited/extraction reuse it.
+        raw_fetch = (
+            admitted.join(docs, admitted.url == F.col("__doc_url"), "left")
+            .join(meta, admitted.url == F.col("__meta_url"), "left")
+            .withColumn("fetch_status", F.coalesce(F.col("status_code"), F.lit(-1)))
+            .withColumn("basename", F.element_at(F.split(F.col("path"), "/"), -1))
+            .drop("__doc_url", "__meta_url", "status_code")
+        )
+        raw_fetch.persist(StorageLevel.MEMORY_AND_DISK)
+        self._wave_caches.append(raw_fetch)
+
+        # basename circuit-breaker pre-check -> final status (-6 short-circuit)
+        fetched = self._apply_breaker_precheck(raw_fetch)
+        _mark("breaker_precheck")
+
+        visited = fetched.select(
+            "url", "url_key", "uq_id", "host", "path", "ext", "depth", "wave", "seq",
+            "source_uq_id", "source_attr",
+            F.col("status").alias("status_code"),
+            "content_type_header",
+            F.coalesce(F.col("size"), F.lit(0)).cast("long").alias("size"),
+            F.coalesce(F.col("request_time_ms"), F.lit(0.0)).alias("request_time_ms"),
+        )
+        self.store.write_table("visited", wave, visited, max_files=self._nfiles(n_pending))
+        _mark("visited_write")
+        metrics.append((wave, "frontier", self.store.count_rows("visited", wave)))
+        self._absorb_events(wave)  # driver-side footer/column read, no job
+
+        # ---- extraction: spans of 200-pages + redirect Locations ----------
+        pages = fetched.filter((F.col("status") == 200) & F.col("spans").isNotNull())
+        base_expr = F.coalesce(
+            F.try_element_at(
+                F.filter("spans", lambda s: s.kind == F.lit("base_href")), F.lit(1)
+            )["text"],
+            F.col("url"),
+        )
+        link_spans = (
+            pages.withColumn("base", base_expr)
+            .select(
+                "base",
+                F.col("seq").alias("parent_seq"),
+                F.col("uq_id").alias("source_uq_id"),
+                F.explode("spans").alias("s"),
+            )
+            .filter(~F.col("s.kind").isin(*NON_LINK_KINDS))
+        )
+        if not cfg.crawl_assets:
+            link_spans = link_spans.filter(~F.col("s.kind").isin(*ASSET_KINDS))
+        if cfg.single_page:
+            link_spans = link_spans.filter(F.col("s.kind") != "a_href")
+        candidates = link_spans.select(
+            "base",
+            F.col("s.text").alias("href"),
+            "parent_seq",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            "source_uq_id",
+        )
+        redirects = fetched.filter(
+            F.col("status").between(301, 308) & F.col("redirect_location").isNotNull()
+        ).select(
+            F.col("url").alias("base"),
+            F.col("redirect_location").alias("href"),
+            F.col("seq").alias("parent_seq"),
+            F.lit(-1).alias("offset"),
+            F.lit("redirect_location").alias("kind"),
+            F.col("uq_id").alias("source_uq_id"),
+        )
+        candidates = candidates.unionByName(redirects).withColumn(
+            "source_attr", _kind_to_attr_expr()
+        )
+
+        events_agg = self._events_agg()
+        accepted, skipped = self._candidate_pipeline(candidates, wave + 1, events_agg)
+        # materialize the shared candidate cache ONCE so the concurrent
+        # branches below read from cache instead of racing to compute it
+        n_cand_all = self._wave_caches[-1].count()
+        _mark("candidates_materialize")
+        metrics.append((wave, "candidates", n_cand_all))
+
+        # skipped-write and frontier-finalize are independent once the cache
+        # is hot — run them as concurrent Spark jobs (fills idle cores and
+        # removes their latencies from the wave's serial chain)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_skip = ex.submit(
+                self.store.write_table, "skipped", wave + 1, skipped,
+                self._nfiles(n_cand_all),
+            )
+            f_new = ex.submit(self._finalize_frontier, accepted, wave + 1)
+            f_skip.result()
+            n_new = f_new.result()
+        _mark("skipped+finalize")
+        metrics.append((wave, "enqueued", n_new))
+        metrics.append((wave, "skipped", self.store.count_rows("skipped", wave + 1)))
+
+        self.store.write_table(
+            "metrics", wave, self.spark.createDataFrame(metrics, METRICS_SCHEMA)
+        )
+        self.store.commit_wave(wave, done=False)
+        for h in self._wave_caches:
+            h.unpersist()
+        self._wave_caches.clear()
+
+    # ------------------------------------------------- candidate pipeline
+    def _candidate_pipeline(self, cand: DataFrame, wave: int, events_agg: DataFrame | None):
+        """P1-P15 (SURVEY §2.2): returns (accepted, skipped), undeduped.
+
+        All predicates are computed as flag columns on ONE cached DataFrame so
+        the expensive upstream (fetch joins + resolve/robots pandas UDFs) is
+        evaluated exactly once per wave, then split into the accepted and
+        skipped branches. The cache handle is parked on self._wave_caches and
+        released at wave end."""
+        cfg = self.config
+        # AQE coalesces the (small) upstream join output to ~1 partition; the
+        # exploded candidate set is 10-50x bigger and about to hit the Python
+        # kernel — spread it across the executors first. The shuffle moves
+        # only (base, href) strings and buys full-parallel UDF execution.
+        c = cand.repartition(self.spark.sparkContext.defaultParallelism * 2)
+        c = c.withColumn("r", self._resolve(F.col("base"), F.col("href")))
+        c = c.filter(F.col("r.valid"))  # P1/P2/P6 — invalid dropped silently
+        c = c.select(
+            F.col("r.canon_url").alias("url"),
+            F.col("r.url_key").alias("url_key"),
+            F.col("r.uq_id").alias("uq_id"),
+            F.col("r.host").alias("host"),
+            F.col("r.path").alias("path"),
+            F.col("r.ext").alias("ext"),
+            F.col("r.depth").alias("depth"),
+            F.col("r.robots_ok").alias("__robots_ok"),  # P5, computed in-batch
+            "parent_seq", "offset", "kind", "source_uq_id", "source_attr",
+        )
+
+        # P12: a_href depth cap (extraction-side silent drop)
+        if cfg.max_depth > 0:
+            c = c.filter((F.col("kind") != "a_href") | (F.col("depth") <= cfg.max_depth))
+
+        # P3: host allowlist — native column expr
+        bare = F.regexp_replace(F.col("host"), r"^www\.", "")
+        ih_bare = self.initial_host.removeprefix("www.")
+        host_ok = (F.col("host") == self.initial_host) | (bare == F.lit(ih_bare))
+        if cfg.allowed_domains:
+            combined = "|".join(_wildcard_to_java_regex(p) for p in cfg.allowed_domains)
+            host_ok = host_ok | F.col("host").rlike(combined)
+        c = c.withColumn("__host_ok", host_ok)
+
+        # P4: basename circuit breaker (enqueue side, silent drop). Events per
+        # basename are bounded (~max_non200), so the aggregate broadcasts and
+        # the predicate stays pure Catalyst.
+        if events_agg is not None:
+            n = cfg.max_non200_per_basename
+            c = (
+                c.withColumn("__bn", F.element_at(F.split(F.col("path"), "/"), -1))
+                .join(F.broadcast(events_agg), F.col("__bn") == events_agg.basename, "left")
+                .withColumn(
+                    "__breaker_ok",
+                    F.col("evt_seqs").isNull()
+                    | (
+                        F.size(F.filter("evt_seqs", lambda s: s <= F.col("parent_seq")))
+                        < F.lit(n)
+                    ),
+                )
+                .drop("__bn", "basename", "evt_seqs")
+            )
+        else:
+            c = c.withColumn("__breaker_ok", F.lit(True))
+
+        # P5: robots.txt — already evaluated inside the resolve UDF's Arrow
+        # batch (__robots_ok column; */$ wildcards aren't Catalyst-expressible
+        # so they ride the same Python exchange as canonicalization)
+
+        # P9/P10: include/ignore regex, url length, asset gate (silent drops)
+        suit = F.length("url") <= cfg.max_url_length
+        for pat in cfg.include_regex:
+            suit = suit & F.col("url").rlike(pat)
+        for pat in cfg.ignore_regex:
+            suit = suit & ~F.col("url").rlike(pat)
+        if not cfg.crawl_assets:
+            suit = suit & (
+                F.col("ext").isin(*[e for e in HTMLISH_EXTENSIONS if e])
+                | (F.col("ext") == "")
+                | (F.col("kind") == "sitemap_loc")
+            )
+        c = c.withColumn("__suit_ok", suit)
+
+        c.persist(StorageLevel.MEMORY_AND_DISK)
+        self._wave_caches.append(c)
+
+        skip_cols = [
+            "url", "url_key", "source_uq_id", "source_attr",
+            F.lit(wave).cast("int").alias("wave"), "parent_seq", "offset",
+        ]
+        skipped_host = c.filter(~F.col("__host_ok")).select(
+            skip_cols[:2] + [F.lit(SKIP_NOT_ALLOWED_HOST).alias("reason")] + skip_cols[2:]
+        )
+        skipped_robots = c.filter(
+            F.col("__host_ok") & F.col("__breaker_ok") & ~F.col("__robots_ok")
+        ).select(skip_cols[:2] + [F.lit(SKIP_ROBOTS_TXT).alias("reason")] + skip_cols[2:])
+        skipped = skipped_host.unionByName(skipped_robots)
+
+        accepted = c.filter(
+            F.col("__host_ok") & F.col("__breaker_ok") & F.col("__robots_ok") & F.col("__suit_ok")
+        ).drop("__host_ok", "__breaker_ok", "__robots_ok", "__suit_ok")
+        return accepted, skipped
+
+    # -------------------------------------------------- finalize a wave
+    def _finalize_frontier(self, accepted: DataFrame, wave: int) -> int:
+        cfg = self.config
+
+        # accepted: anti-join seen (bloom + exact), then first-wins dedup as
+        # min(struct(parent_seq, offset, ...)) — a hash aggregate with
+        # map-side partial combine, so the shuffle carries ~unique keys
+        # instead of every duplicate (the window-function formulation would
+        # shuffle the full candidate set)
+        unseen = self.seen.filter_new(accepted, n_seen=self.n_enqueued)
+        w_first = W.partitionBy("url_key").orderBy("parent_seq", "offset")
+        new = (
+            unseen.withColumn("__rn", F.row_number().over(w_first))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        new, n_cand = with_global_seq(
+            new, ["parent_seq", "offset"], seq_col="seq", start=self.n_enqueued,
+            cache_registry=self._wave_caches,
+        )
+        # global enqueue cap (crawler.rs:1268-1306): total-ever < max_visited
+        new = new.filter(F.col("seq") < cfg.max_visited_urls)
+        # queue cap: cheap python upper bound first (max seq - min possible
+        # parent - 1); only run the exact sequential pass when it could bind.
+        # NOTE the exact pass runs on the PRE-dedup stream: a cap-rejected
+        # first occurrence must not consume the key — a later duplicate can
+        # still enqueue once dequeues free a slot (reference FIFO semantics).
+        min_parent = self._wave_seq_start.get(wave - 1, -1)
+        qlen_bound = (self.n_enqueued + n_cand - 1) - (min_parent + 1)
+        if qlen_bound >= cfg.max_queue_length:
+            new = self._apply_queue_cap(unseen)
+
+        frontier_new = new.select(
+            "url", "url_key", "uq_id", "host", "path", "ext", "depth",
+            F.lit(wave).cast("int").alias("wave"), "seq", "source_uq_id", "source_attr",
+        )
+        self.store.write_table("frontier", wave, frontier_new, max_files=self._nfiles(n_cand))
+        n_new = self.store.count_rows("frontier", wave)  # footer read, no job
+
+        # parquet-backed seen keys: cut lineage, one scan over committed waves
+        self.seen._keys = (
+            self.store.read_all("frontier", wave, FRONTIER_SCHEMA)
+            .select("url_key")
+            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+        )
+        self._wave_seq_start[wave] = self.n_enqueued
+        self.n_enqueued += n_new
+
+        # bloom maintenance only once the seen set is big enough to pay for
+        # it (below that, filter_new broadcast-anti-joins the exact keys);
+        # bitsets are built DISTRIBUTED per bucket, only blobs hit the driver
+        if self.n_enqueued >= self.seen.bloom_min_keys:
+            src = (
+                self.seen.keys
+                if not self._bloom_ready
+                else self.store.read_wave("frontier", wave)
+                .select("url_key")
+                .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+            )
+            # driver build while the key slice is modest; distributed
+            # per-bucket build (operators/seen.build_bloom_blobs) above that —
+            # a 10^10-key seen set must never toPandas through the driver
+            if self.n_enqueued < 20_000_000:
+                self.seen.bloom.add_keys(src.toPandas())
+            else:
+                from .operators.seen import build_bloom_blobs
+
+                for b_, blob in build_bloom_blobs(src, self.seen.bloom.m, self.seen.bloom.k):
+                    self.seen.bloom.merge_blob(b_, blob)
+            self._bloom_ready = True
+            bloom_df = self.spark.createDataFrame(
+                self.seen.bloom.to_rows(), "bucket int, bits binary"
+            )
+            self.store.write_table("blooms", wave, bloom_df)
+        return n_new
+
+    @staticmethod
+    def _nfiles(n_rows: int) -> int:
+        """Output files per state-table write: 1 while tiny (keeps test-scale
+        scans compact), growing ~1 file / 100k rows so big waves write in
+        parallel instead of funneling through a single coalesced task."""
+        return max(1, min(64, n_rows // 100_000))
+
+    # ------------------------------------------------------------ helpers
+    def _absorb_events(self, wave: int) -> None:
+        """Fold the wave's non-200 fetches (excluding -6 short-circuits) into
+        the driver-held basename event map, straight from the just-written
+        parquet columns (no Spark job; state is bounded, see __init__)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        d = self.store._wave_dir("visited", wave)
+        if not os.path.isdir(d):
+            return
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(d, fn), columns=["path", "seq", "status_code"])
+            mask = pc.and_(
+                pc.not_equal(t["status_code"], 200), pc.not_equal(t["status_code"], -6)
+            )
+            sub = t.filter(mask)
+            for path, seq in zip(sub["path"].to_pylist(), sub["seq"].to_pylist()):
+                bn = (path or "").rsplit("/", 1)[-1]
+                self._basename_events.setdefault(bn, []).append(int(seq))
+        for bn in self._basename_events:
+            self._basename_events[bn].sort()
+
+    def _events_agg(self) -> DataFrame | None:
+        """P4's broadcast side: (basename, evt_seqs) from the driver map."""
+        if not self._basename_events:
+            return None
+        rows = [(bn, seqs) for bn, seqs in sorted(self._basename_events.items())]
+        return self.spark.createDataFrame(rows, "basename string, evt_seqs array<bigint>")
+
+    def _apply_breaker_precheck(self, raw_fetch: DataFrame) -> DataFrame:
+        """Process-time breaker (crawler.rs:506-525): rows whose basename has
+        >= N prior non-200 events (strictly earlier seq, including earlier
+        rows of THIS wave) short-circuit to status -6.
+
+        Risk detection is ONE small aggregate over the cached fetch join
+        (which usefully doubles as the cache materialization); in the common
+        no-risk case the wave pays zero extra plan nodes. At-risk basenames
+        (bounded, driver-collected) route through a narrow per-basename
+        sequential applyInPandas."""
+        cfg = self.config
+        n = cfg.max_non200_per_basename
+        prev = {bn: len(s) for bn, s in self._basename_events.items()}
+
+        interest = F.col("fetch_status") != 200
+        if prev:
+            interest = interest | F.col("basename").isin(*prev.keys())
+        counts = (
+            raw_fetch.filter(interest)
+            .groupBy("basename")
+            .agg(F.sum(F.when(F.col("fetch_status") != 200, 1).otherwise(0)).alias("bad"))
+            .collect()
+        )
+        risky = sorted(
+            r["basename"] for r in counts if prev.get(r["basename"], 0) + r["bad"] >= n
+        )
+        if not risky:
+            return raw_fetch.withColumn("status", F.col("fetch_status"))
+
+        prev_bc = {bn: prev.get(bn, 0) for bn in risky}
+        safe_rows = raw_fetch.filter(~F.col("basename").isin(*risky)).withColumn(
+            "status", F.col("fetch_status")
+        )
+        risky_rows = raw_fetch.filter(F.col("basename").isin(*risky))
+
+        def seq_check(pdf):
+            pdf = pdf.sort_values("seq").reset_index(drop=True)
+            running = int(prev_bc.get(pdf["basename"].iloc[0], 0)) if len(pdf) else 0
+            statuses = []
+            for s in pdf["fetch_status"]:
+                if running >= n:
+                    statuses.append(-6)
+                else:
+                    statuses.append(int(s))
+                    if s != 200:
+                        running += 1
+            pdf["status"] = statuses
+            return pdf[["seq", "status"]]
+
+        risky_status = (
+            risky_rows.select("basename", "seq", "fetch_status")
+            .groupBy("basename")
+            .applyInPandas(seq_check, "seq long, status int")
+        )
+        risky_done = risky_rows.join(risky_status, "seq", "inner")
+        return safe_rows.unionByName(risky_done, allowMissingColumns=False)
+
+    def _apply_queue_cap(self, unseen: DataFrame) -> DataFrame:
+        """P11 (crawler.rs:1219-1230): reject when the live queue is full.
+        queue_len at enqueue of the row with global seq s and parent p is
+        s - p - 1. Runs ONLY when the python upper bound says the cap could
+        bind (rare: default cap 9000); replays the reference's sequential
+        acceptance over the wave's candidate keys — including within-wave
+        dedup, because a cap-rejected first occurrence must not block a later
+        duplicate, and the global max_visited cap."""
+        q = self.config.max_queue_length
+        mv = self.config.max_visited_urls
+        rows = (
+            unseen.select("url_key", "parent_seq", "offset")
+            .orderBy("parent_seq", "offset")
+            .collect()
+        )
+        accepted_keys: list[tuple[str, int]] = []
+        taken: set[str] = set()
+        n_acc = 0
+        base = self.n_enqueued
+        for r in rows:
+            if r["url_key"] in taken:
+                continue
+            if base + n_acc >= mv:
+                break
+            qlen = (base + n_acc) - (r["parent_seq"] + 1)
+            if qlen < q:
+                taken.add(r["url_key"])
+                # remember WHICH occurrence won (it carries source provenance)
+                accepted_keys.append((r["url_key"], r["parent_seq"], r["offset"], base + n_acc))
+                n_acc += 1
+        keys_df = self.spark.createDataFrame(
+            accepted_keys, "url_key string, parent_seq long, offset int, seq long"
+        )
+        return unseen.join(F.broadcast(keys_df), ["url_key", "parent_seq", "offset"], "inner")
+
+    def _admit(self, pending: DataFrame):
+        """Politeness admission (north-rule superset): per-host wave budget via
+        a host-partitioned window; deferred rows are queued for the next wave.
+        Parity config (budget=0) admits everything -> exact BFS."""
+        budget = self.config.per_host_wave_budget
+        if budget <= 0:
+            return pending, None
+        w = W.partitionBy("host").orderBy("depth", "seq")
+        ranked = pending.withColumn("__hr", F.row_number().over(w))
+        admitted = ranked.filter(F.col("__hr") <= budget).drop("__hr")
+        deferred = ranked.filter(F.col("__hr") > budget).drop("__hr")
+        return admitted, deferred
+
+    def _final_tables(self, last_wave: int) -> dict:
+        # frontier/skipped rows discovered while processing wave K land at
+        # index K+1 — read one index past the last processed wave.
+        # skipped is stored RAW (every occurrence); first-wins is the
+        # read-time view: earliest (wave, parent_seq, offset) per url_key.
+        raw_sk = self.store.read_all("skipped", last_wave + 1, SKIPPED_SCHEMA)
+        w = W.partitionBy("url_key").orderBy("wave", "parent_seq", "offset")
+        sk = (
+            raw_sk.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "parent_seq", "offset")
+        )
+        return {
+            "visited": self.store.read_all("visited", last_wave, VISITED_SCHEMA),
+            "frontier": self.store.read_all("frontier", last_wave + 1, FRONTIER_SCHEMA),
+            "skipped": sk,
+            "metrics": self.store.read_all("metrics", last_wave, METRICS_SCHEMA),
+            "last_wave": last_wave,
+        }

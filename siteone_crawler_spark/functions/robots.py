@@ -87,6 +87,10 @@ def parse_robots(body: str) -> RobotsRules:
     return rules
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def _pattern_to_regex(pattern: str) -> re.Pattern:
     anchored_end = pattern.endswith("$")
     if anchored_end:

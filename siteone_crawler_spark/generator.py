@@ -331,6 +331,112 @@ def generate_site(
     return site
 
 
+def generate_site_df(
+    spark,
+    n_docs: int = 200_000,
+    n_hosts: int = 1024,
+    fanout: int = 8,
+    zipf: bool = True,
+    hot_targets: int = 1000,
+):
+    """Spark-NATIVE bench-scale site generator: builds the docs + meta tables
+    entirely with column expressions (no Python row loops), so 10^7-doc
+    corpora materialize in seconds. Host assignment is log-uniform
+    (approximately Zipf s=1) when zipf=True — hot-host skew is the point.
+    Every page also links to a hot page (id % hot_targets), creating the
+    heavy candidate-overlap / dedup pressure the 10^10-frontier rule targets.
+
+    Returns (docs, meta, robots_bodies, seed_urls_fn) where seed_urls_fn(k)
+    yields the first k page URLs.
+    """
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n_docs).withColumnRenamed("id", "did")
+    u = (F.pmod(F.xxhash64(F.col("did")), F.lit(100_000)) / 100_000.0)
+    if zipf:
+        host_idx = (F.pow(F.lit(float(n_hosts)), u) - 1).cast("int")
+    else:
+        host_idx = F.pmod(F.xxhash64(F.col("did")), F.lit(n_hosts)).cast("int")
+    host = F.concat(F.lit("h"), F.lpad(host_idx.cast("string"), 4, "0"), F.lit(".bench.test"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("did").cast("string"))
+
+    def target_url(k: int):
+        tid = F.pmod(F.xxhash64(F.col("did"), F.lit(k)), F.lit(n_docs))
+        tu = (F.pmod(F.xxhash64(tid), F.lit(100_000)) / 100_000.0)
+        th = (F.pow(F.lit(float(n_hosts)), tu) - 1).cast("int") if zipf else F.pmod(
+            F.xxhash64(tid), F.lit(n_hosts)
+        ).cast("int")
+        thost = F.concat(F.lit("h"), F.lpad(th.cast("string"), 4, "0"), F.lit(".bench.test"))
+        return F.concat(F.lit("https://"), thost, F.lit("/p/"), tid.cast("string"))
+
+    hot = F.pmod(F.col("did"), F.lit(hot_targets))
+    hot_u = (F.pmod(F.xxhash64(hot), F.lit(100_000)) / 100_000.0)
+    hot_h = (F.pow(F.lit(float(n_hosts)), hot_u) - 1).cast("int") if zipf else F.pmod(
+        F.xxhash64(hot), F.lit(n_hosts)
+    ).cast("int")
+    hot_url = F.concat(
+        F.lit("https://h"), F.lpad(hot_h.cast("string"), 4, "0"),
+        F.lit(".bench.test/p/"), hot.cast("string"),
+    )
+
+    span_structs = [
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(F.lit("page "), F.col("did").cast("string")).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    ]
+    for k in range(fanout):
+        t = target_url(k)
+        span_structs.append(
+            F.struct(
+                F.lit("a_href").alias("kind"), t.alias("text"),
+                t.alias("media_ref"), F.lit(k + 1).alias("offset"),
+            )
+        )
+    span_structs.append(
+        F.struct(
+            F.lit("a_href").alias("kind"), hot_url.alias("text"),
+            hot_url.alias("media_ref"), F.lit(fanout + 1).alias("offset"),
+        )
+    )
+    # deterministic garbage/external sprinkle (dropped/skipped downstream)
+    bad = F.when(F.pmod(F.col("did"), F.lit(13)) == 0, F.lit("mailto:x@bench.test")).otherwise(
+        F.concat(F.lit("https://ext"), F.pmod(F.col("did"), F.lit(5)).cast("string"),
+                 F.lit(".other.test/x"), F.col("did").cast("string"))
+    )
+    span_structs.append(
+        F.struct(
+            F.lit("a_href").alias("kind"), bad.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(fanout + 2).alias("offset"),
+        )
+    )
+
+    docs = ids.select(url.alias("doc_id"), F.array(*span_structs).alias("spans"))
+    meta = docs.select(
+        "doc_id",
+        F.lit(200).alias("status_code"),
+        F.lit("text/html; charset=utf-8").alias("content_type_header"),
+        F.lit(None).cast("string").alias("redirect_location"),
+        (F.length("doc_id") * 17).cast("long").alias("size"),
+        (F.pmod(F.xxhash64("doc_id"), F.lit(50000)) / 10.0).alias("request_time_ms"),
+    )
+    robots = {
+        f"h{i:04d}.bench.test": "User-agent: *\nDisallow: /private/\n" for i in range(n_hosts)
+    }
+
+    def seed_urls(k: int) -> list[tuple[str, int]]:
+        rows = (
+            ids.limit(k)
+            .select(url.alias("u"))
+            .collect()
+        )
+        return [(r["u"], 91) for r in rows]
+
+    return docs, meta, robots, seed_urls
+
+
 def site_to_dfs(spark, site: Site):
     """Materialize the site as Spark DataFrames (docs, docs_meta, robots, seeds)."""
     docs = spark.createDataFrame(

@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines.
+
+Five flavors, all DataFrame-native where possible:
+
+  exact          md5(normalized text) groupBy — the hash-groupBy baseline
+  minhash + LSH  word-shingles -> k independent minhashes -> b bands ->
+                 band-bucket join -> candidate pairs -> exact Jaccard verify
+  simhash        64-bit sign-aggregated token hashes (Arrow/numpy UDF)
+  ngram-jaccard  exact Jaccard over shingle sets for candidate pairs
+  embedding near-dup  cosine over embedding vectors (operators/similarity.py)
+
+Hashing uses md5 hex strings (lexicographic min is a valid minhash) so the
+DuckDB oracle can reproduce values exactly — both engines agree on md5() of
+the same bytes, which would not hold for xxhash64 across engines. At cluster
+scale you would swap md5 for xxhash64 (cheaper, JVM-native); the operator
+shape is identical.
+
+Scale notes: the LSH band join shuffles on (band, band_key) — bucket keys are
+uniformly distributed by construction (hashes), so no skew; candidate-pair
+verification joins shingle sets back by doc_id (co-partitioned on doc_id).
+
+Reference parity note: the reference crawler has no content dedup (its dedup
+is URL-keyed only, /root/reference/src/engine/found_urls.rs:29-32); this
+module is the north-rule training-data superset.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, norm_tokens, word_shingles
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of identical normalized content: (fp, n_docs, doc_ids sorted).
+    Only groups with >1 member are duplicates; keeper = min(doc_id)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, seed, minhash): minhash = lexicographic MIN over
+    md5(seed || '|' || shingle). Rows with no shingles get no signature."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))))
+            .alias("minhash")
+        )
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band, band_key): band_key = md5 over the band's concatenated
+    minhashes. Docs sharing any band_key are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    sig = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        sig.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list(F.col("minhash"))))
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) with the number of colliding bands."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    bk = lsh_band_keys(sigs, num_hashes, bands)
+    a = bk.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bk.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
+    sets_ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    j = (
+        pairs.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias("jaccard"),
+    )
+
+
+def near_duplicates_minhash(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full pipeline: LSH candidates -> exact-Jaccard verify -> thresholded
+    near-dup pairs, ordered (doc_a, doc_b)."""
+    pairs = minhash_candidate_pairs(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    jac = jaccard_pairs(docs, pairs.select("doc_a", "doc_b"), id_col, text_col, shingle_n)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over normalized tokens (numpy inside an Arrow batch).
+
+    Each token hashes to 64 bits (md5 low half); bit i votes +1/-1; the
+    fingerprint is the sign vector. Near-dups have small Hamming distance.
+    Not SQL-oracle-expressible (bit voting) — covered by unit tests instead.
+    """
+
+    @F.pandas_udf("long")
+    def simhash_udf(token_arrays: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for toks in token_arrays:
+            if toks is None or len(toks) == 0:
+                out.append(0)
+                continue
+            hashes = np.array(
+                [
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for i in range(64):
+                if votes[i] > 0:
+                    fp |= np.uint64(1) << np.uint64(i)
+            out.append(int(fp.astype(np.int64)))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_udf(norm_tokens(F.col(text_col))).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 16-bit sub-bands (any exact
+    sub-band match is a candidate — standard Hamming-LSH), then verify the
+    full Hamming distance. Avoids the O(n^2) cross join."""
+    sh = simhash64(docs, **kw)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "val")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "val")
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

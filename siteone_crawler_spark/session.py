@@ -56,8 +56,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(n, 32)
 
+    # one BLAS/OMP thread per python worker: N workers x M BLAS threads
+    # oversubscribes the box quadratically and serializes the Arrow exchange
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     b = (
         SparkSession.builder.master(master)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -66,9 +75,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # NOTE: oversized heaps anti-scale in local mode — G1 growing a 90g
+        # heap under 32 allocating threads spent ~70% CPU in kernel page
+        # zeroing (measured via vmstat sys%). 24g is plenty for the state
+        # tables; raise via SPARK_DRIVER_MEM only for giant local joins.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # fewer, larger Arrow batches: less per-batch object churn in the
+        # pandas-UDF exchange (GC pressure scales with task concurrency)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # state tables are many small parquet files; don't fragment scans
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -145,7 +145,7 @@ def simulate(site, config: CrawlConfig) -> SimResult:
             seq += 1
             continue
 
-        if status == 200 and not config.single_page:
+        if status == 200:
             spans = sorted(docs.get(url, []), key=lambda s: s["offset"])
             base = url
             for s in spans:
@@ -157,6 +157,9 @@ def simulate(site, config: CrawlConfig) -> SimResult:
                 if kind in NON_LINK_KINDS:
                     continue
                 if not config.crawl_assets and kind in ASSET_KINDS:
+                    continue
+                # P13: single-page suppresses <a href> extraction only
+                if config.single_page and kind == "a_href":
                     continue
                 cand = resolve_candidate(
                     base, s["text"], initial_host, initial_scheme,

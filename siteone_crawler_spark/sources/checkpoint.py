@@ -1,0 +1,106 @@
+"""Checkpointed crawl-state store — the Iceberg table contract on local disk.
+
+The north rule calls for Iceberg; the Iceberg runtime jars are not in this
+image, so this module implements the same contract (atomic per-wave commits,
+partitioned tables, resume from last committed snapshot) as Parquet
+directories plus a JSON manifest whose replacement is atomic (os.replace).
+Swapping in real Iceberg is a one-class change: `write_table` ->
+`df.writeTo(...).append()` and the manifest becomes Iceberg's own snapshot
+log. The reference has NO resumability (a killed run loses the frontier,
+/root/reference/src/engine/crawler.rs:237-257) — this store is the
+capability the north rule adds.
+
+Layout:
+    root/manifest.json                  {"last_wave": K, "done": bool, ...}
+    root/<table>/wave=K/part-*.parquet  per-wave appends (frontier, visited,
+                                        skipped, events, metrics, blooms)
+
+A wave K is visible iff manifest.last_wave >= K, so a crash between table
+writes and the manifest bump simply replays wave K on resume — writes are
+idempotent per (table, wave) because each wave dir is overwritten whole.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("frontier", "visited", "skipped", "events", "metrics", "blooms")
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"last_wave": -1, "done": False, "config": None}
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_wave(self, wave: int, done: bool, extra: dict | None = None) -> None:
+        m = self.read_manifest()
+        m["last_wave"] = wave
+        m["done"] = done
+        if extra:
+            m.update(extra)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+
+    # -- tables ----------------------------------------------------------------
+    def _wave_dir(self, table: str, wave: int) -> str:
+        return os.path.join(self.root, table, f"wave={wave}")
+
+    def write_table(self, table: str, wave: int, df: DataFrame, max_files: int = 1) -> None:
+        """Per-wave state tables are small relative to the docs corpus; cap
+        output files so later multi-wave scans don't fragment into hundreds
+        of tiny-file partitions. At cluster scale `max_files` would instead be
+        sized to keep ~128MB per file."""
+        df.coalesce(max_files).write.mode("overwrite").parquet(self._wave_dir(table, wave))
+
+    def read_wave(self, table: str, wave: int, schema: str | None = None) -> DataFrame:
+        d = self._wave_dir(table, wave)
+        if not os.path.isdir(d):
+            if schema is None:
+                raise FileNotFoundError(d)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(d)
+
+    def count_rows(self, table: str, wave: int) -> int:
+        """Row count from parquet footers (driver-side metadata read — no
+        Spark job). The per-wave state tables are few files by construction."""
+        import pyarrow.parquet as pq
+
+        d = self._wave_dir(table, wave)
+        if not os.path.isdir(d):
+            return 0
+        total = 0
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        return total
+
+    def read_all(self, table: str, upto_wave: int, schema: str | None = None) -> DataFrame:
+        """Union of committed waves 0..upto_wave (single multi-path parquet
+        scan — one job, partition-prunable)."""
+        dirs = [
+            self._wave_dir(table, w)
+            for w in range(upto_wave + 1)
+            if os.path.isdir(self._wave_dir(table, w))
+        ]
+        if not dirs:
+            if schema is None:
+                raise FileNotFoundError(f"{table} has no committed waves")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*dirs)
