@@ -481,6 +481,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         GROUP BY n.n_name"""
     )
 
+    def q_span_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """North-rule per-row invariant: span-sequence (kind,text,media_ref,
+        order) fingerprint over the derived interleaved docs table, computed
+        by the real spans operator (sort-in-array + md5 join)."""
+        from siteone_crawler_spark.operators.spans import span_signature
+        from siteone_crawler_spark.sources.docs import derive_spans_from_documents
+
+        _register(spark, sf_dir)
+        docs = derive_spans_from_documents(spark.table("documents"), fanout=3, n_hosts=7)
+        return span_signature(docs)
+
+    q["span_signature"] = q_span_signature
+
     def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Brute-force cosine top-k (native zip_with/aggregate dot product)."""
         from siteone_crawler_spark.operators.similarity import cosine_topk
@@ -732,6 +745,31 @@ def oracle_sql() -> dict[str, str]:
           cast(sum(cast(c.c_acctbal AS decimal(18,4))) AS double) AS total_balance
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name"""
+
+    # span-sequence invariant: reproduce the derived spans + md5 fingerprint
+    # (SEP = chr(31), struct fields joined kind|text|media_ref in offset order)
+    o["span_signature"] = """
+        WITH n AS (SELECT count(*) AS cnt FROM documents),
+        d AS (
+          SELECT cast(doc_id AS bigint) AS did, text, cnt FROM documents, n
+        ), u AS (
+          SELECT did, text,
+            'https://h' || lpad(cast(did % 7 AS string), 2, '0') || '.corpus.test/p/'
+              || cast(did AS string) AS self_url,
+            'https://h' || lpad(cast(((did*3+1) % cnt) % 7 AS string), 2, '0')
+              || '.corpus.test/p/' || cast((did*3+1) % cnt AS string) AS u1,
+            'https://h' || lpad(cast(((did*3+2) % cnt) % 7 AS string), 2, '0')
+              || '.corpus.test/p/' || cast((did*3+2) % cnt AS string) AS u2,
+            'https://h' || lpad(cast(((did*3+3) % cnt) % 7 AS string), 2, '0')
+              || '.corpus.test/p/' || cast((did*3+3) % cnt AS string) AS u3
+          FROM d
+        )
+        SELECT self_url AS doc_id, 4 AS n_spans,
+          md5('text' || chr(31) || text || chr(31) || '' || chr(31) ||
+              'a_href' || chr(31) || u1 || chr(31) || u1 || chr(31) ||
+              'a_href' || chr(31) || u2 || chr(31) || u2 || chr(31) ||
+              'a_href' || chr(31) || u3 || chr(31) || u3) AS sig
+        FROM u"""
 
     o["knn_cosine_topk"] = """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

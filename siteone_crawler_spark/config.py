@@ -28,6 +28,9 @@ class CrawlConfig:
     single_page: bool = False
     # north-rule politeness superset (reference politeness is global-only):
     per_host_wave_budget: int = 0  # 0 = unlimited (parity mode)
+    wave_seconds: float = 0.0  # >0: per-host budget = wave_seconds/crawl_delay
+    default_crawl_delay: float = 1.0  # used when robots has no Crawl-delay
+    politeness_salts: int = 1  # >1: split a hot host's window across salts
     max_waves: int = 0  # 0 = until frontier empty
 
     def allowed_domain_regexes(self) -> list[re.Pattern]:

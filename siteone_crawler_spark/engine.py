@@ -75,6 +75,7 @@ SKIPPED_SCHEMA = (
 )
 EVENTS_SCHEMA = "basename string, seq long"
 METRICS_SCHEMA = "wave int, stage string, rows long"
+LINEAGE_SCHEMA = "wave int, table string, file string, n_rows long, n_bytes long"
 
 
 def _wildcard_to_java_regex(pattern: str) -> str:
@@ -277,8 +278,11 @@ class CrawlEngine:
         fetched = self._apply_breaker_precheck(raw_fetch)
         _mark("breaker_precheck")
 
+        # visited is the FETCH log: wave = the wave that processed the row
+        # (== discovery wave under parity; later when politeness defers)
         visited = fetched.select(
-            "url", "url_key", "uq_id", "host", "path", "ext", "depth", "wave", "seq",
+            "url", "url_key", "uq_id", "host", "path", "ext", "depth",
+            F.lit(wave).cast("int").alias("wave"), "seq",
             "source_uq_id", "source_attr",
             F.col("status").alias("status_code"),
             "content_type_header",
@@ -361,6 +365,17 @@ class CrawlEngine:
 
         self.store.write_table(
             "metrics", wave, self.spark.createDataFrame(metrics, METRICS_SCHEMA)
+        )
+        # per-partition lineage (north rule): one row per output file/partition
+        lineage = self.store.collect_lineage(wave, ("visited",)) + self.store.collect_lineage(
+            wave + 1, ("frontier", "skipped")
+        )
+        self.store.write_table(
+            "lineage",
+            wave,
+            self.spark.createDataFrame(lineage, LINEAGE_SCHEMA)
+            if lineage
+            else self.spark.createDataFrame([], LINEAGE_SCHEMA),
         )
         self.store.commit_wave(wave, done=False)
         for h in self._wave_caches:
@@ -676,16 +691,64 @@ class CrawlEngine:
         return unseen.join(F.broadcast(keys_df), ["url_key", "parent_seq", "offset"], "inner")
 
     def _admit(self, pending: DataFrame):
-        """Politeness admission (north-rule superset): per-host wave budget via
-        a host-partitioned window; deferred rows are queued for the next wave.
-        Parity config (budget=0) admits everything -> exact BFS."""
-        budget = self.config.per_host_wave_budget
-        if budget <= 0:
+        """Politeness admission (north-rule superset — the reference's
+        politeness is a single global rate limiter, crawler.rs:540-569, with
+        NO Crawl-delay support): a salted priority queue keyed by
+        (depth, host, priority=seq) assigns each host a per-wave fetch
+        budget; robots Crawl-delay shrinks it (budget = wave_seconds/delay).
+        Deferred rows queue for the next wave. Parity config (budget=0,
+        wave_seconds=0) admits everything -> exact BFS order.
+
+        Zipfian skew: with politeness ON, a hot host's window partition is
+        bounded by its budget anyway; politeness_salts > 1 additionally
+        splits the host partition by a url hash salt (budget divided across
+        salts) so no single task ranks a mega-host alone."""
+        cfg = self.config
+        if cfg.per_host_wave_budget <= 0 and cfg.wave_seconds <= 0:
             return pending, None
-        w = W.partitionBy("host").orderBy("depth", "seq")
-        ranked = pending.withColumn("__hr", F.row_number().over(w))
-        admitted = ranked.filter(F.col("__hr") <= budget).drop("__hr")
-        deferred = ranked.filter(F.col("__hr") > budget).drop("__hr")
+
+        budgets = []
+        if cfg.per_host_wave_budget > 0:
+            budgets.append(F.lit(cfg.per_host_wave_budget))
+        if cfg.wave_seconds > 0:
+            delays = {
+                host: r.crawl_delay
+                for host, r in self._rules_bc.value.items()
+                if r.crawl_delay
+            }
+            default_budget = max(
+                1, int(cfg.wave_seconds / max(cfg.default_crawl_delay, 1e-9))
+            )
+            if delays:
+                mapping = F.create_map(
+                    *[
+                        x
+                        for h, d in sorted(delays.items())
+                        for x in (
+                            F.lit(h),
+                            F.lit(max(1, int(cfg.wave_seconds / d))),
+                        )
+                    ]
+                )
+                budgets.append(F.coalesce(mapping[F.col("host")], F.lit(default_budget)))
+            else:
+                budgets.append(F.lit(default_budget))
+        budget_col = budgets[0] if len(budgets) == 1 else F.least(*budgets)
+
+        salts = max(1, cfg.politeness_salts)
+        if salts > 1:
+            salt = F.pmod(F.xxhash64("url_key"), F.lit(salts))
+            w = W.partitionBy("host", salt).orderBy("depth", "seq")
+            budget_col = F.greatest(
+                (budget_col / salts).cast("int"), F.lit(1)
+            )
+        else:
+            w = W.partitionBy("host").orderBy("depth", "seq")
+        ranked = pending.withColumn("__hr", F.row_number().over(w)).withColumn(
+            "__budget", budget_col
+        )
+        admitted = ranked.filter(F.col("__hr") <= F.col("__budget")).drop("__hr", "__budget")
+        deferred = ranked.filter(F.col("__hr") > F.col("__budget")).drop("__hr", "__budget")
         return admitted, deferred
 
     def _final_tables(self, last_wave: int) -> dict:
@@ -705,5 +768,6 @@ class CrawlEngine:
             "frontier": self.store.read_all("frontier", last_wave + 1, FRONTIER_SCHEMA),
             "skipped": sk,
             "metrics": self.store.read_all("metrics", last_wave, METRICS_SCHEMA),
+            "lineage": self.store.read_all("lineage", last_wave, LINEAGE_SCHEMA),
             "last_wave": last_wave,
         }

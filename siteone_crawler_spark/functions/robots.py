@@ -39,6 +39,10 @@ class RobotsRules:
     disallowed: list[str] = field(default_factory=list)
     allowed: list[str] = field(default_factory=list)
     sitemaps: list[str] = field(default_factory=list)
+    # NORTH-RULE SUPERSET: the reference parses robots.txt but ignores
+    # Crawl-delay entirely (verified: zero matches in /root/reference/src).
+    # The engine's politeness scheduler honors it per host.
+    crawl_delay: float | None = None
 
     def to_rows(self, host: str) -> list[tuple[str, str, str]]:
         """Flatten to (host, rule_type, pattern) rows for the broadcast table."""
@@ -84,6 +88,11 @@ def parse_robots(body: str) -> RobotsRules:
         elif field_name == "allow":
             if value:
                 rules.allowed.append(value)
+        elif field_name == "crawl-delay":
+            try:
+                rules.crawl_delay = float(value)
+            except ValueError:
+                pass
     return rules
 
 

@@ -153,9 +153,10 @@ class SeenSet:
         self._keys = self.keys.unionByName(kb)
 
     # below this many seen keys the bloom prefilter costs more (one extra
-    # Python stage per wave) than the broadcast anti-join it would save;
-    # sized against the 64MB autoBroadcastJoinThreshold (~32-char md5 keys)
-    bloom_min_keys: int = 1_500_000
+    # Python stage per wave + the bitset build) than the broadcast anti-join
+    # it replaces; sized against the 64MB autoBroadcastJoinThreshold
+    # (~32-char md5 keys -> ~5M keys fit a broadcast comfortably)
+    bloom_min_keys: int = 5_000_000
 
     def filter_new(
         self, candidates: DataFrame, key_col: str = "url_key", n_seen: int | None = None

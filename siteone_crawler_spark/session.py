@@ -87,6 +87,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # state tables are many small parquet files; don't fragment scans
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # shuffle/spill to tmpfs when available: single-node disk is the one
+        # resource that does NOT scale with local cores (a real cluster gets
+        # per-executor local disks instead)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

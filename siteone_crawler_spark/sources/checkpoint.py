@@ -91,6 +91,26 @@ class CheckpointStore:
                 total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
         return total
 
+    def collect_lineage(self, wave: int, tables: tuple[str, ...]) -> list[tuple]:
+        """Per-partition lineage for a committed wave: one row per output file
+        (file == partition at write time) with its row count and byte size,
+        read from parquet footers (driver-side, no job).
+        Rows: (wave, table, file, n_rows, n_bytes)."""
+        import pyarrow.parquet as pq
+
+        rows: list[tuple] = []
+        for t in tables:
+            d = self._wave_dir(t, wave)
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(d, fn)
+                    rows.append(
+                        (wave, t, fn, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
+                    )
+        return rows
+
     def read_all(self, table: str, upto_wave: int, schema: str | None = None) -> DataFrame:
         """Union of committed waves 0..upto_wave (single multi-path parquet
         scan — one job, partition-prunable)."""

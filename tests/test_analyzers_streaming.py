@@ -69,6 +69,12 @@ def test_analyzer_tables(spark, crawl):
     ws = A.wave_stats(visited).collect()
     assert sum(r["n"] for r in ws) == len(sim.crawl_order)
 
+    # per-partition lineage: file-level row counts reconcile with the tables
+    lin = tables["lineage"].collect()
+    vis_rows = sum(r["n_rows"] for r in lin if r["table"] == "visited")
+    assert vis_rows == len(sim.crawl_order)
+    assert all(r["n_bytes"] > 0 for r in lin)
+
 
 def test_streaming_telemetry(spark, crawl):
     from siteone_crawler_spark.streaming import run_to_memory, visited_stream

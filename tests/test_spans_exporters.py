@@ -1,0 +1,158 @@
+"""Span-sequence invariant, exporter sinks, extra-columns, crawl-delay."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from siteone_crawler_spark.config import CrawlConfig
+from siteone_crawler_spark.generator import generate_site, site_to_dfs
+
+
+def test_span_sequence_invariant(spark):
+    """North-rule per-row invariant: (kind, text, media_ref, order) equality."""
+    from siteone_crawler_spark.generator import SPAN_SCHEMA
+    from siteone_crawler_spark.operators.spans import (
+        ordered_spans,
+        span_parity_violations,
+        span_signature,
+    )
+
+    site = generate_site(seed=42, n_hosts=1, docs_per_host=10)
+    docs, *_ = site_to_dfs(spark, site)
+
+    seq = ordered_spans(docs).collect()
+    by_id = {r["doc_id"]: r["seq"] for r in seq}
+    spans0 = sorted(site.docs[0]["spans"], key=lambda s: s["offset"])
+    got0 = by_id[site.docs[0]["doc_id"]]
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans0] == [
+        (x["kind"], x["text"], x["media_ref"]) for x in got0
+    ]
+
+    # identical tables -> zero violations
+    assert span_parity_violations(docs, docs).count() == 0
+
+    # a reordered span sequence IS a violation
+    mutated_rows = []
+    for d in site.docs:
+        spans = list(d["spans"])
+        if d["doc_id"] == site.docs[0]["doc_id"] and len(spans) > 2:
+            spans[0], spans[1] = (
+                {**spans[1], "offset": 0},
+                {**spans[0], "offset": 1},
+            )
+        mutated_rows.append(
+            (d["doc_id"], [tuple(s[k] for k in ("kind", "text", "media_ref", "offset")) for s in spans])
+        )
+    mutated = spark.createDataFrame(mutated_rows, schema=SPAN_SCHEMA)
+    bad = span_parity_violations(docs, mutated).collect()
+    assert len(bad) == 1 and bad[0]["doc_id"] == site.docs[0]["doc_id"]
+
+    sig = span_signature(docs).collect()
+    assert all(r["sig"] and r["n_spans"] >= 0 for r in sig)
+
+
+@pytest.fixture(scope="module")
+def crawl_small(spark, tmp_path_factory):
+    from siteone_crawler_spark.engine import CrawlEngine
+
+    site = generate_site(seed=42, n_hosts=1, docs_per_host=15)
+    cfg = CrawlConfig(allowed_domains=("*.example.test",))
+    docs, meta, robots, seeds = site_to_dfs(spark, site)
+    eng = CrawlEngine(spark, cfg, str(tmp_path_factory.mktemp("ck")), n_buckets=8)
+    return eng.run(docs, meta, site.robots, site.seeds)
+
+
+def test_sitemap_exporter(spark, tmp_path, crawl_small):
+    from siteone_crawler_spark.sources.exporters import sitemap_rows, write_sitemap_xml
+
+    rows = sitemap_rows(crawl_small["visited"]).collect()
+    assert rows, "sitemap should contain internal HTML 200s"
+    keys = [(r["slashes"], r["url"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(0.1 <= r["priority"] <= 1.0 for r in rows)
+
+    p = str(tmp_path / "sitemap.xml")
+    n = write_sitemap_xml(crawl_small["visited"], p)
+    content = open(p).read()
+    assert content.startswith('<?xml') and content.count("<url>") == n
+
+
+def test_json_exporter(spark, tmp_path, crawl_small):
+    from siteone_crawler_spark.sources.exporters import write_json
+
+    out = write_json(crawl_small["visited"], crawl_small["skipped"], str(tmp_path / "out.json"))
+    assert out["stats"]["total_urls"] == crawl_small["visited"].count()
+    assert out["tables"]["contentTypes"] and out["tables"]["statusCodes"]
+    import json
+
+    reloaded = json.load(open(tmp_path / "out.json"))
+    assert reloaded["stats"]["total_urls"] == out["stats"]["total_urls"]
+
+
+def test_markdown_spans(spark):
+    from siteone_crawler_spark.sources.exporters import markdown_spans
+
+    site = generate_site(seed=1, n_hosts=1, docs_per_host=5)
+    docs, *_ = site_to_dfs(spark, site)
+    md = {r["doc_id"]: r["markdown"] for r in markdown_spans(docs).collect()}
+    root = site.docs[0]
+    got = md[root["doc_id"]]
+    assert "Welcome to page" in got  # text spans pass through
+    assert "](" in got  # links become markdown refs
+
+
+def test_extra_columns(spark):
+    from siteone_crawler_spark.functions.extra_columns import (
+        parse_extra_column,
+        with_extra_columns,
+    )
+
+    df = spark.createDataFrame(
+        [("Title: Hello World. Body text 42.",), ("no match here",)], "text string"
+    )
+    out = with_extra_columns(
+        df,
+        [r"Title=regexp:/Title: ([^.]+)\./#1", r"Num=regexp:/(\d+)/#1", "All=xpath://text()"],
+    ).collect()
+    assert out[0]["Title"] == "Hello World"
+    assert out[0]["Num"] == "42"
+    assert out[0]["All"] == out[0]["text"]
+    assert out[1]["Title"] == ""
+
+    spec = parse_extra_column("X=regexp:/a(b)c/#1")
+    assert spec.group == 1 and spec.spec == "a(b)c"
+    with pytest.raises(ValueError):
+        parse_extra_column("bad-spec")
+    with pytest.raises(Exception):
+        with_extra_columns(df, ["Y=xpath://h1/text()"]).collect()
+
+
+def test_crawl_delay_politeness(spark, tmp_path):
+    """Crawl-delay in robots shrinks a host's per-wave budget; all URLs are
+    still eventually visited exactly once."""
+    from siteone_crawler_spark.engine import CrawlEngine
+    from siteone_crawler_spark.functions.robots import parse_robots
+    from siteone_crawler_spark.simulator import simulate
+
+    site = generate_site(seed=9, n_hosts=2, docs_per_host=10, with_breaker_family=False)
+    # host 0: crawl-delay 5 (budget 2/wave at wave_seconds=10); host 1: none
+    site.robots["h0000.example.test"] += "User-agent: *\nCrawl-delay: 5\n"
+    assert parse_robots(site.robots["h0000.example.test"]).crawl_delay == 5.0
+
+    cfg = CrawlConfig(
+        allowed_domains=("*.example.test",), wave_seconds=10.0, default_crawl_delay=0.5
+    )
+    docs, meta, robots, seeds = site_to_dfs(spark, site)
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "ck"), n_buckets=8)
+    tables = eng.run(docs, meta, site.robots, site.seeds)
+
+    base = simulate(site, CrawlConfig(allowed_domains=("*.example.test",)))
+    assert {r["url"] for r in tables["visited"].collect()} == {t[1] for t in base.crawl_order}
+    assert tables["visited"].count() == len(base.crawl_order)
+    # the delayed host processes <= 2 rows per wave
+    per_wave = (
+        tables["visited"].filter(F.col("host") == "h0000.example.test")
+        .groupBy("wave").count().collect()
+    )
+    assert all(r["count"] <= 2 for r in per_wave)
