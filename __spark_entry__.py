@@ -603,12 +603,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["content_type_stats"] = """
-        SELECT lang, count(*) AS n, sum(n_chars) AS total_chars,
+        SELECT lang, count(*) AS n, cast(sum(n_chars) AS bigint) AS total_chars,
           round(cast(sum(cast(n_chars AS decimal(18,4))) AS double) / count(*), 6) AS avg_chars
         FROM documents GROUP BY lang"""
 
     o["source_domain_stats"] = """
-        SELECT source, lang, count(*) AS n, sum(n_chars) AS total_chars
+        SELECT source, lang, count(*) AS n, cast(sum(n_chars) AS bigint) AS total_chars
         FROM documents GROUP BY source, lang"""
 
     o["top_slowest"] = """
@@ -644,7 +644,7 @@ def oracle_sql() -> dict[str, str]:
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
             THEN 1 ELSE 0 END AS new_session
           FROM events)
-        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        SELECT user_id, cast(sum(new_session) AS bigint) AS n_sessions, count(*) AS n_events
         FROM g GROUP BY user_id"""
 
     o["windowed_counts"] = """
@@ -657,7 +657,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY {_fp_sql('duck')}"""
 
     o["token_count"] = f"""
-        SELECT lang, sum(len({_TOKS_DUCK})) AS total_tokens, count(*) AS n_docs
+        SELECT lang, cast(sum(len({_TOKS_DUCK})) AS bigint) AS total_tokens,
+          count(*) AS n_docs
         FROM documents GROUP BY lang"""
 
     o["quality_score"] = f"""
@@ -730,7 +731,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["cube_stats"] = """
         SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-               count(*) AS n, sum(n_chars) AS total_chars
+               count(*) AS n, cast(sum(n_chars) AS bigint) AS total_chars
         FROM documents
         GROUP BY CUBE (lang, source)"""
 

@@ -48,19 +48,21 @@ SKIP_NOT_ALLOWED_HOST = 1
 SKIP_ROBOTS_TXT = 2
 SKIP_EXCEEDS_MAX_DEPTH = 3
 
-# UrlSource provenance codes (reference src/engine/found_url.rs:12-29)
+# UrlSource provenance codes (reference src/engine/found_url.rs:12-29;
+# note VideoSrc=24 / AudioSrc=25 — the reference numbers video first)
 SOURCE_INIT_URL = 5
 SOURCE_A_HREF = 10
 SOURCE_IMG_SRC = 20
 SOURCE_IMG_SRCSET = 21
 SOURCE_INPUT_SRC = 22
 SOURCE_SOURCE_SRC = 23
-SOURCE_AUDIO_SRC = 24
-SOURCE_VIDEO_SRC = 25
+SOURCE_VIDEO_SRC = 24
+SOURCE_AUDIO_SRC = 25
 SOURCE_SCRIPT_SRC = 30
-SOURCE_LINK_HREF = 40
-SOURCE_CSS_URL = 50
-SOURCE_JS_URL = 60
+SOURCE_INLINE_SCRIPT_SRC = 40
+SOURCE_LINK_HREF = 50
+SOURCE_CSS_URL = 60
+SOURCE_JS_URL = 70
 SOURCE_REDIRECT = 80
 SOURCE_SITEMAP = 90
 SOURCE_URL_LIST = 91
@@ -71,9 +73,10 @@ SPAN_KIND_TO_SOURCE = {
     "img_srcset": SOURCE_IMG_SRCSET,
     "input_src": SOURCE_INPUT_SRC,
     "source_src": SOURCE_SOURCE_SRC,
-    "audio_src": SOURCE_AUDIO_SRC,
     "video_src": SOURCE_VIDEO_SRC,
+    "audio_src": SOURCE_AUDIO_SRC,
     "script_src": SOURCE_SCRIPT_SRC,
+    "inline_script_src": SOURCE_INLINE_SCRIPT_SRC,
     "link_href": SOURCE_LINK_HREF,
     "css_url": SOURCE_CSS_URL,
     "js_url": SOURCE_JS_URL,
@@ -90,9 +93,10 @@ ASSET_KINDS = (
     "img_srcset",
     "input_src",
     "source_src",
-    "audio_src",
     "video_src",
+    "audio_src",
     "script_src",
+    "inline_script_src",
     "link_href",
     "css_url",
     "js_url",

@@ -89,6 +89,22 @@ def _kind_to_attr_expr():
     return F.coalesce(mapping[F.col("kind")], F.lit(10))
 
 
+def _basename_expr(url_col, path_col):
+    """Native twin of functions.urls.base_name (reference get_base_name,
+    parsed_url.rs:465-481): NULL for root/empty path; trailing slashes
+    trimmed; query appended when it contains '/' or '%2F'."""
+    query = F.parse_url(url_col, F.lit("QUERY"))
+    seg = F.element_at(F.split(F.regexp_replace(path_col, "/+$", ""), "/"), -1)
+    with_query = F.when(
+        query.isNotNull() & (query.contains("/") | query.contains("%2F")),
+        F.concat(seg, F.lit("?"), query),
+    ).otherwise(seg)
+    return F.when(
+        path_col.isNull() | (path_col == "") | (path_col == "/") | (seg == ""),
+        F.lit(None).cast("string"),
+    ).otherwise(with_query)
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -104,6 +120,7 @@ class CrawlEngine:
         self.n_enqueued = 0
         self._wave_caches: list[DataFrame] = []
         self._wave_seq_start: dict[int, int] = {}
+        self._min_pending_seq: int | None = None
         self._bloom_ready = False
         # basename -> sorted non-200 event seqs. BOUNDED state: once a
         # basename accumulates max_non200 events the pre-check short-circuits
@@ -255,6 +272,15 @@ class CrawlEngine:
         cfg = self.config
         metrics: list[tuple[int, str, int]] = []
 
+        # min parent seq over the WHOLE pending set (deferred rows carry
+        # earlier-wave parents) — parquet footer stats, no job. Feeds the
+        # queue-cap trigger bound in _finalize_frontier.
+        mins = [
+            self.store.min_stat(t, wave, "seq") for t in ("frontier", "deferred")
+        ]
+        mins = [m for m in mins if m is not None]
+        self._min_pending_seq = min(mins) if mins else None
+
         # politeness admission (north-rule superset; parity mode admits all)
         admitted, deferred = self._admit(pending)
         if deferred is not None:
@@ -268,7 +294,7 @@ class CrawlEngine:
             admitted.join(docs, admitted.url == F.col("__doc_url"), "left")
             .join(meta, admitted.url == F.col("__meta_url"), "left")
             .withColumn("fetch_status", F.coalesce(F.col("status_code"), F.lit(-1)))
-            .withColumn("basename", F.element_at(F.split(F.col("path"), "/"), -1))
+            .withColumn("basename", _basename_expr(F.col("url"), F.col("path")))
             .drop("__doc_url", "__meta_url", "status_code")
         )
         raw_fetch.persist(StorageLevel.MEMORY_AND_DISK)
@@ -286,8 +312,15 @@ class CrawlEngine:
             "source_uq_id", "source_attr",
             F.col("status").alias("status_code"),
             "content_type_header",
-            F.coalesce(F.col("size"), F.lit(0)).cast("long").alias("size"),
-            F.coalesce(F.col("request_time_ms"), F.lit(0.0)).alias("request_time_ms"),
+            # -6 short-circuits never fetch (crawler.rs:509 create_skipped):
+            # no body, no timing
+            F.when(F.col("status") == -6, F.lit(0))
+            .otherwise(F.coalesce(F.col("size"), F.lit(0)))
+            .cast("long")
+            .alias("size"),
+            F.when(F.col("status") == -6, F.lit(0.0))
+            .otherwise(F.coalesce(F.col("request_time_ms"), F.lit(0.0)))
+            .alias("request_time_ms"),
         )
         self.store.write_table("visited", wave, visited, max_files=self._nfiles(n_pending))
         _mark("visited_write")
@@ -407,6 +440,7 @@ class CrawlEngine:
             F.col("r.path").alias("path"),
             F.col("r.ext").alias("ext"),
             F.col("r.depth").alias("depth"),
+            F.col("r.basename").alias("__bn"),  # reference get_base_name (P4)
             F.col("r.robots_ok").alias("__robots_ok"),  # P5, computed in-batch
             "parent_seq", "offset", "kind", "source_uq_id", "source_attr",
         )
@@ -429,9 +463,10 @@ class CrawlEngine:
         # the predicate stays pure Catalyst.
         if events_agg is not None:
             n = cfg.max_non200_per_basename
+            # NULL basename (root URLs) never joins -> evt_seqs NULL -> ok;
+            # enqueue side trips at >= n (crawler.rs:1086)
             c = (
-                c.withColumn("__bn", F.element_at(F.split(F.col("path"), "/"), -1))
-                .join(F.broadcast(events_agg), F.col("__bn") == events_agg.basename, "left")
+                c.join(F.broadcast(events_agg), F.col("__bn") == events_agg.basename, "left")
                 .withColumn(
                     "__breaker_ok",
                     F.col("evt_seqs").isNull()
@@ -440,7 +475,7 @@ class CrawlEngine:
                         < F.lit(n)
                     ),
                 )
-                .drop("__bn", "basename", "evt_seqs")
+                .drop("basename", "evt_seqs")
             )
         else:
             c = c.withColumn("__breaker_ok", F.lit(True))
@@ -449,10 +484,15 @@ class CrawlEngine:
         # batch (__robots_ok column; */$ wildcards aren't Catalyst-expressible
         # so they ride the same Python exchange as canonicalization)
 
-        # P9/P10: include/ignore regex, url length, asset gate (silent drops)
+        # P9/P10: include/ignore regex, url length, asset gate (silent drops).
+        # Include list is a disjunction — ANY match allows (crawler.rs:1309-
+        # 1338); ignore list is a conjunction of negations (any match vetoes).
         suit = F.length("url") <= cfg.max_url_length
-        for pat in cfg.include_regex:
-            suit = suit & F.col("url").rlike(pat)
+        if cfg.include_regex:
+            inc = F.lit(False)
+            for pat in cfg.include_regex:
+                inc = inc | F.col("url").rlike(pat)
+            suit = suit & inc
         for pat in cfg.ignore_regex:
             suit = suit & ~F.col("url").rlike(pat)
         if not cfg.crawl_assets:
@@ -480,7 +520,7 @@ class CrawlEngine:
 
         accepted = c.filter(
             F.col("__host_ok") & F.col("__breaker_ok") & F.col("__robots_ok") & F.col("__suit_ok")
-        ).drop("__host_ok", "__breaker_ok", "__robots_ok", "__suit_ok")
+        ).drop("__host_ok", "__breaker_ok", "__robots_ok", "__suit_ok", "__bn")
         return accepted, skipped
 
     # -------------------------------------------------- finalize a wave
@@ -488,16 +528,20 @@ class CrawlEngine:
         cfg = self.config
 
         # accepted: anti-join seen (bloom + exact), then first-wins dedup as
-        # min(struct(parent_seq, offset, ...)) — a hash aggregate with
-        # map-side partial combine, so the shuffle carries ~unique keys
+        # min_by(struct(cols), struct(parent_seq, offset)) — a hash aggregate
+        # with map-side partial combine, so the shuffle carries ~unique keys
         # instead of every duplicate (the window-function formulation would
         # shuffle the full candidate set)
         unseen = self.seen.filter_new(accepted, n_seen=self.n_enqueued)
-        w_first = W.partitionBy("url_key").orderBy("parent_seq", "offset")
+        data_cols = [col for col in unseen.columns if col != "url_key"]
         new = (
-            unseen.withColumn("__rn", F.row_number().over(w_first))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            unseen.groupBy("url_key")
+            .agg(
+                F.min_by(
+                    F.struct(*data_cols), F.struct("parent_seq", "offset")
+                ).alias("__w")
+            )
+            .select("url_key", "__w.*")
         )
         new, n_cand = with_global_seq(
             new, ["parent_seq", "offset"], seq_col="seq", start=self.n_enqueued,
@@ -510,7 +554,12 @@ class CrawlEngine:
         # NOTE the exact pass runs on the PRE-dedup stream: a cap-rejected
         # first occurrence must not consume the key — a later duplicate can
         # still enqueue once dequeues free a slot (reference FIFO semantics).
-        min_parent = self._wave_seq_start.get(wave - 1, -1)
+        # Under politeness deferral pending rows carry parents from EARLIER
+        # waves, so the min parent comes from the pending set's parquet
+        # footer stats (stashed by _run_wave), not from the wave counter.
+        min_parent = self._min_pending_seq
+        if min_parent is None:
+            min_parent = self._wave_seq_start.get(wave - 1, -1)
         qlen_bound = (self.n_enqueued + n_cand - 1) - (min_parent + 1)
         if qlen_bound >= cfg.max_queue_length:
             new = self._apply_queue_cap(unseen)
@@ -542,10 +591,12 @@ class CrawlEngine:
                 .select("url_key")
                 .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
             )
-            # driver build while the key slice is modest; distributed
+            # driver build while the key SLICE is modest (the full set on the
+            # first build, just this wave's new keys after); distributed
             # per-bucket build (operators/seen.build_bloom_blobs) above that —
             # a 10^10-key seen set must never toPandas through the driver
-            if self.n_enqueued < 20_000_000:
+            slice_rows = n_new if self._bloom_ready else self.n_enqueued
+            if slice_rows < 2_000_000:
                 self.seen.bloom.add_keys(src.toPandas())
             else:
                 from .operators.seen import build_bloom_blobs
@@ -570,9 +621,13 @@ class CrawlEngine:
     def _absorb_events(self, wave: int) -> None:
         """Fold the wave's non-200 fetches (excluding -6 short-circuits) into
         the driver-held basename event map, straight from the just-written
-        parquet columns (no Spark job; state is bounded, see __init__)."""
+        parquet columns (no Spark job; state is bounded, see __init__).
+        Root URLs (basename None) and index.html/index.htm/index are never
+        counted (crawler.rs:1440-1451)."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        from .functions.urls import BREAKER_EXEMPT_BASENAMES, base_name
 
         d = self.store._wave_dir("visited", wave)
         if not os.path.isdir(d):
@@ -580,22 +635,42 @@ class CrawlEngine:
         for fn in os.listdir(d):
             if not fn.endswith(".parquet"):
                 continue
-            t = pq.read_table(os.path.join(d, fn), columns=["path", "seq", "status_code"])
+            t = pq.read_table(
+                os.path.join(d, fn), columns=["url", "path", "seq", "status_code"]
+            )
             mask = pc.and_(
                 pc.not_equal(t["status_code"], 200), pc.not_equal(t["status_code"], -6)
             )
             sub = t.filter(mask)
-            for path, seq in zip(sub["path"].to_pylist(), sub["seq"].to_pylist()):
-                bn = (path or "").rsplit("/", 1)[-1]
+            for url, path, seq in zip(
+                sub["url"].to_pylist(), sub["path"].to_pylist(), sub["seq"].to_pylist()
+            ):
+                query = url.split("?", 1)[1] if url and "?" in url else ""
+                bn = base_name(path or "", query)
+                if bn is None or bn in BREAKER_EXEMPT_BASENAMES:
+                    continue
                 self._basename_events.setdefault(bn, []).append(int(seq))
+        # only the first max_non200+1 event seqs per basename are load-bearing
+        # (the breaker trips on the n-th smallest; counts saturate at n+1), so
+        # the per-basename lists stay O(n) even under a 404 long tail
+        cap = self.config.max_non200_per_basename + 1
         for bn in self._basename_events:
             self._basename_events[bn].sort()
+            del self._basename_events[bn][cap:]
 
     def _events_agg(self) -> DataFrame | None:
-        """P4's broadcast side: (basename, evt_seqs) from the driver map."""
-        if not self._basename_events:
+        """P4's broadcast side: (basename, evt_seqs) from the driver map.
+        Only basenames with >= n events can ever trip the enqueue-side
+        breaker, so the broadcast carries just those — a 404 long tail of
+        once-failing basenames never inflates it."""
+        n = self.config.max_non200_per_basename
+        rows = [
+            (bn, seqs)
+            for bn, seqs in sorted(self._basename_events.items())
+            if len(seqs) >= n
+        ]
+        if not rows:
             return None
-        rows = [(bn, seqs) for bn, seqs in sorted(self._basename_events.items())]
         return self.spark.createDataFrame(rows, "basename string, evt_seqs array<bigint>")
 
     def _apply_breaker_precheck(self, raw_fetch: DataFrame) -> DataFrame:
@@ -608,29 +683,40 @@ class CrawlEngine:
         no-risk case the wave pays zero extra plan nodes. At-risk basenames
         (bounded, driver-collected) route through a narrow per-basename
         sequential applyInPandas."""
+        from .functions.urls import BREAKER_EXEMPT_BASENAMES
+
         cfg = self.config
         n = cfg.max_non200_per_basename
         prev = {bn: len(s) for bn, s in self._basename_events.items()}
+        exempt = list(BREAKER_EXEMPT_BASENAMES)
 
-        interest = F.col("fetch_status") != 200
-        if prev:
-            interest = interest | F.col("basename").isin(*prev.keys())
+        # root URLs (basename NULL) and index.* never count and never trip
+        interest = F.col("basename").isNotNull() & ~F.col("basename").isin(*exempt)
+        cond = F.col("fetch_status") != 200
+        # all-200 rows only matter when their basename is ALREADY at the
+        # threshold (prev >= n) — below it they can't trip without a non-200
+        # this wave, and those rows are caught by the status arm
+        hot = [bn for bn, c in prev.items() if c >= n]
+        if hot:
+            cond = cond | F.col("basename").isin(*hot)
         counts = (
-            raw_fetch.filter(interest)
+            raw_fetch.filter(interest & cond)
             .groupBy("basename")
             .agg(F.sum(F.when(F.col("fetch_status") != 200, 1).otherwise(0)).alias("bad"))
             .collect()
         )
+        # a row trips only when its PRIOR event count strictly exceeds n
+        # (crawler.rs:507-509 uses `count > max`) — risk iff prev+bad could
         risky = sorted(
-            r["basename"] for r in counts if prev.get(r["basename"], 0) + r["bad"] >= n
+            r["basename"] for r in counts if prev.get(r["basename"], 0) + r["bad"] > n
         )
         if not risky:
             return raw_fetch.withColumn("status", F.col("fetch_status"))
 
         prev_bc = {bn: prev.get(bn, 0) for bn in risky}
-        safe_rows = raw_fetch.filter(~F.col("basename").isin(*risky)).withColumn(
-            "status", F.col("fetch_status")
-        )
+        safe_rows = raw_fetch.filter(
+            F.col("basename").isNull() | ~F.col("basename").isin(*risky)
+        ).withColumn("status", F.col("fetch_status"))
         risky_rows = raw_fetch.filter(F.col("basename").isin(*risky))
 
         def seq_check(pdf):
@@ -638,7 +724,7 @@ class CrawlEngine:
             running = int(prev_bc.get(pdf["basename"].iloc[0], 0)) if len(pdf) else 0
             statuses = []
             for s in pdf["fetch_status"]:
-                if running >= n:
+                if running > n:
                     statuses.append(-6)
                 else:
                     statuses.append(int(s))
@@ -665,20 +751,29 @@ class CrawlEngine:
         duplicate, and the global max_visited cap."""
         q = self.config.max_queue_length
         mv = self.config.max_visited_urls
+        # Driver memory is bounded: the candidate stream arrives sorted but
+        # STREAMED (toLocalIterator holds one partition at a time, never the
+        # whole wave), `taken`/`accepted_keys` hold at most the accept count,
+        # and total accepts per wave are < max_queue_length (every parent seq
+        # is < base, so acceptance requires n_acc < q) — the loop breaks the
+        # moment that bound is hit.
         rows = (
             unseen.select("url_key", "parent_seq", "offset")
-            .orderBy("parent_seq", "offset")
-            .collect()
+            .repartitionByRange(
+                max(1, self.spark.sparkContext.defaultParallelism), "parent_seq", "offset"
+            )
+            .sortWithinPartitions("parent_seq", "offset")
+            .toLocalIterator()
         )
-        accepted_keys: list[tuple[str, int]] = []
+        accepted_keys: list[tuple] = []
         taken: set[str] = set()
         n_acc = 0
         base = self.n_enqueued
         for r in rows:
+            if n_acc >= q or base + n_acc >= mv:
+                break
             if r["url_key"] in taken:
                 continue
-            if base + n_acc >= mv:
-                break
             qlen = (base + n_acc) - (r["parent_seq"] + 1)
             if qlen < q:
                 taken.add(r["url_key"])

@@ -1,23 +1,37 @@
 """robots.txt parsing and path matching.
 
 Reimplements (from observed public behavior) the reference's robots engine:
-parser at /root/reference/src/engine/robots_txt.rs:42-98, matcher at :175-223,
+parser at /root/reference/src/engine/robots_txt.rs:42-98, matcher at :105-223,
 wired into the enqueue pipeline at src/engine/crawler.rs:1107-1128.
 
-Semantics:
+Semantics (reference-exact):
   - only `User-agent: *` and `User-agent: SiteOne-Crawler` sections are
-    honored (case-insensitive);
-  - `Allow:` overrides `Disallow:`;
-  - patterns are prefix matches with `*` wildcards and a `$` end anchor,
-    case-insensitive;
-  - an empty `Disallow:` value allows everything;
-  - static-asset extensions (js/css/images/fonts) are ALWAYS allowed;
-  - `#` comments stripped; `Sitemap:` lines are collected but the reference
-    never enqueues them — we preserve that (fixtures assert it).
+    honored, compared CASE-SENSITIVELY; the LAST User-agent line before a
+    rule decides the active group (robots_txt.rs:47-62 keeps exactly one
+    `current_user_agent`, each UA line replaces it — no stacking);
+  - `Allow:` overrides `Disallow:`; an empty `Disallow:` value is dropped;
+    when there are NO disallow rules everything is allowed without
+    consulting allows (robots_txt.rs:111-113);
+  - static-asset extensions are ALWAYS allowed; the reference's regex
+    (robots_txt.rs:8-10) matches the extension ANYWHERE in the URL
+    (unanchored) and covers js/css/json/eot/ttf/woff2/woff/otf/png/gif/jpg/
+    jpeg/ico/webp/avif/tif/bmp/svg;
+  - patterns: `$` suffix without `*` is exact case-insensitive EQUALITY;
+    `*` patterns use a LEFTMOST NON-BACKTRACKING scan (robots_txt.rs:195-223)
+    — each literal part matches at the first position after the previous
+    part, so `/a*b$` can reject paths a backtracking regex would accept;
+    plain patterns are case-insensitive prefix matches;
+  - `#` comments stripped; `Sitemap:` lines are collected regardless of the
+    UA section but the reference never enqueues them — we preserve that.
 
-Rules are tiny per host: they live in a small DataFrame broadcast to the
-executors; evaluation happens inside the frontier filter pandas UDF (robots
-`*`/`$` wildcards are not Catalyst-expressible).
+NORTH-RULE SUPERSET: `Crawl-delay` is parsed for honored sections and feeds
+the politeness scheduler; the reference ignores it entirely (verified: zero
+matches in /root/reference/src). This is additive — it never changes which
+URLs are allowed.
+
+Rules are tiny per host: they live in a broadcast dict; evaluation happens
+inside the frontier filter pandas UDF (robots `*`/`$` matching is not
+Catalyst-expressible).
 """
 
 from __future__ import annotations
@@ -25,11 +39,12 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-HONORED_AGENTS = ("*", "siteone-crawler")
+HONORED_AGENTS = ("*", "SiteOne-Crawler")  # case-sensitive (robots_txt.rs:62-63)
 
-# always-allowed asset extensions (robots_txt.rs asset override)
+# always-allowed asset extensions — unanchored, matches anywhere in the URL
+# (robots_txt.rs:8-10)
 _ASSET_EXT_RE = re.compile(
-    r"\.(js|css|png|jpe?g|gif|webp|avif|ico|svg|woff2?|ttf|otf|eot)(\?.*)?$",
+    r"\.(js|css|json|eot|ttf|woff2|woff|otf|png|gif|jpg|jpeg|ico|webp|avif|tif|bmp|svg)",
     re.IGNORECASE,
 )
 
@@ -39,9 +54,7 @@ class RobotsRules:
     disallowed: list[str] = field(default_factory=list)
     allowed: list[str] = field(default_factory=list)
     sitemaps: list[str] = field(default_factory=list)
-    # NORTH-RULE SUPERSET: the reference parses robots.txt but ignores
-    # Crawl-delay entirely (verified: zero matches in /root/reference/src).
-    # The engine's politeness scheduler honors it per host.
+    # NORTH-RULE SUPERSET (see module docstring).
     crawl_delay: float | None = None
 
     def to_rows(self, host: str) -> list[tuple[str, str, str]]:
@@ -52,75 +65,94 @@ class RobotsRules:
         return rows
 
 
+_UA_RE = re.compile(r"(?i)^User-agent:\s*(.*)")
+_DISALLOW_RE = re.compile(r"(?i)^Disallow:\s*(.*)")
+_ALLOW_RE = re.compile(r"(?i)^Allow:\s*(.*)")
+_SITEMAP_RE = re.compile(r"(?i)^Sitemap:\s*(.*)")
+_CRAWL_DELAY_RE = re.compile(r"(?i)^Crawl-delay:\s*(.*)")
+
+
 def parse_robots(body: str) -> RobotsRules:
+    """Line parser mirroring robots_txt.rs:42-98: strip comments, track the
+    single current User-agent (last one wins), collect rules only in honored
+    groups, collect Sitemap lines unconditionally."""
     rules = RobotsRules()
     if not body:
         return rules
-    active = False
-    seen_agent_line = False
+    current_ua: str | None = None
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
-        if ":" not in line:
-            continue
-        field_name, _, value = line.partition(":")
-        field_name = field_name.strip().lower()
-        value = value.strip()
-        if field_name == "user-agent":
-            # a new agent group begins; within a group multiple UA lines stack
-            if seen_agent_line:
-                active = value.lower() in HONORED_AGENTS
-                seen_agent_line = False
-            else:
-                active = active or value.lower() in HONORED_AGENTS
-            continue
-        if field_name == "sitemap":
-            rules.sitemaps.append(value)
-            seen_agent_line = True
-            continue
-        seen_agent_line = True
-        if not active:
-            continue
-        if field_name == "disallow":
-            if value:  # empty Disallow allows everything
-                rules.disallowed.append(value)
-        elif field_name == "allow":
-            if value:
-                rules.allowed.append(value)
-        elif field_name == "crawl-delay":
-            try:
-                rules.crawl_delay = float(value)
-            except ValueError:
-                pass
+        m = _UA_RE.match(line)
+        if m:
+            current_ua = m.group(1).strip()
+        elif current_ua in HONORED_AGENTS:
+            if (m := _DISALLOW_RE.match(line)) is not None:
+                v = m.group(1).strip()
+                if v:
+                    rules.disallowed.append(v)
+            elif (m := _ALLOW_RE.match(line)) is not None:
+                v = m.group(1).strip()
+                if v:
+                    rules.allowed.append(v)
+            elif (m := _CRAWL_DELAY_RE.match(line)) is not None:
+                try:
+                    rules.crawl_delay = float(m.group(1).strip())
+                except ValueError:
+                    pass
+        if (m := _SITEMAP_RE.match(line)) is not None:
+            v = m.group(1).strip()
+            if v:
+                rules.sitemaps.append(v)
     return rules
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=65536)
-def _pattern_to_regex(pattern: str) -> re.Pattern:
-    anchored_end = pattern.endswith("$")
-    if anchored_end:
-        pattern = pattern[:-1]
-    parts = [re.escape(p) for p in pattern.split("*")]
-    body = ".*".join(parts)
-    return re.compile("^" + body + ("$" if anchored_end else ""), re.IGNORECASE)
+def _wildcard_match(path: str, pattern: str, exact_end: bool) -> bool:
+    """Leftmost non-backtracking scan (robots_txt.rs:195-223): each literal
+    part of the pattern matches at the FIRST position after the previous
+    part; the first part must match at the start of the path."""
+    pl = path.lower()
+    pos = 0
+    for i, part in enumerate(pattern.split("*")):
+        if not part:
+            continue
+        q = pl.find(part.lower(), pos)
+        if q < 0:
+            return False
+        if i == 0 and q != 0:
+            return False
+        pos = q + len(part)
+    if exact_end:
+        return pos == len(pl)
+    return True
 
 
 def path_matches(pattern: str, path: str) -> bool:
-    """robots-style prefix match with * wildcards and $ end anchor."""
+    """robots-style match (robots_txt.rs:175-193): `$` anchor, `*` wildcard
+    (leftmost scan), else case-insensitive prefix."""
     if not pattern:
         return False
-    return _pattern_to_regex(pattern).match(path) is not None
+    if pattern.endswith("$"):
+        p = pattern[:-1]
+        if "*" in p:
+            return _wildcard_match(path, p, exact_end=True)
+        return path.lower() == p.lower()
+    if "*" in pattern:
+        return _wildcard_match(path, pattern, exact_end=False)
+    return path.lower().startswith(pattern.lower())
 
 
-def is_allowed(rules: RobotsRules | None, path: str) -> bool:
-    """Allow overrides Disallow; assets always allowed; no rules => allowed."""
+def is_allowed(rules: RobotsRules | None, path: str, query: str = "") -> bool:
+    """robots_txt.rs:105-147: assets always allowed (the reference tests the
+    full URL string — path?query covers the variable part); no disallow rules
+    => allowed; Allow overrides Disallow; patterns match the PATH only."""
     if rules is None:
         return True
-    if _ASSET_EXT_RE.search(path or ""):
+    target = f"{path}?{query}" if query else (path or "")
+    if _ASSET_EXT_RE.search(target):
+        return True
+    if not rules.disallowed:
         return True
     for pat in rules.allowed:
         if path_matches(pat, path):

@@ -170,6 +170,24 @@ def extension_of(path: str) -> str:
     return ""
 
 
+def base_name(path: str, query: str = "") -> str | None:
+    """Reference get_base_name (parsed_url.rs:465-481): None for root/empty
+    path; trailing slashes trimmed, last non-empty segment; when the query
+    string contains '/' or '%2F' it is appended as 'seg?query'."""
+    if not path or path == "/":
+        return None
+    seg = path.rstrip("/").rsplit("/", 1)[-1]
+    if not seg:
+        return None
+    if query and ("/" in query or "%2F" in query):
+        return f"{seg}?{query}"
+    return seg
+
+
+# basenames the reference never counts non-200 events for (crawler.rs:1441-1445)
+BREAKER_EXEMPT_BASENAMES = frozenset(("index.html", "index.htm", "index"))
+
+
 def canonicalize(
     url: str,
     initial_host: str = "",
@@ -217,6 +235,7 @@ def canonicalize(
         "ext": extension_of(path),
         "d2l": second_level_domain(host),
         "depth": path_depth(path),
+        "basename": base_name(path, query),
         "uq_id": key[:8],
         "url_key": key,
         "valid": True,
@@ -234,6 +253,7 @@ def _invalid() -> dict:
         "ext": "",
         "d2l": "",
         "depth": 0,
+        "basename": None,
         "uq_id": "",
         "url_key": "",
         "valid": False,
@@ -278,6 +298,7 @@ CANON_STRUCT = T.StructType(
         T.StructField("ext", T.StringType()),
         T.StructField("d2l", T.StringType()),
         T.StructField("depth", T.IntegerType()),
+        T.StructField("basename", T.StringType()),
         T.StructField("uq_id", T.StringType()),
         T.StructField("url_key", T.StringType()),
         T.StructField("valid", T.BooleanType()),
@@ -326,7 +347,7 @@ def make_resolve_udf(
                 r["robots_ok"] = (
                     True
                     if robots_rules is None or not r["valid"]
-                    else is_allowed(robots_rules.get(r["host"]), r["path"])
+                    else is_allowed(robots_rules.get(r["host"]), r["path"], r["query"])
                 )
                 cache[key] = r
             rows.append(r)

@@ -192,13 +192,17 @@ class SeenSet:
         # exact anti-join only for the maybe slice, only against touched buckets
         seen_pruned = self.keys.withColumnRenamed("url_key", key_col)
         survivors = maybe.join(
-            seen_pruned.hint("broadcast") if self._small() else seen_pruned,
+            seen_pruned.hint("broadcast") if self._small(n_seen) else seen_pruned,
             on=[key_col],
             how="left_anti",
         )
         return definite_new.unionByName(survivors).drop("__bucket", "__maybe")
 
-    def _small(self) -> bool:
-        # heuristic: broadcast the exact side while it's tiny (local tests);
-        # at scale the anti-join is a bucket-colocated sort-merge instead
-        return True
+    # keys above which the exact side must NOT be broadcast: ~32-char md5
+    # keys, ~5M rows ≈ 300MB of broadcast payload is the ceiling; beyond it
+    # the anti-join runs as a shuffle (bucket-colocated sort-merge — both
+    # sides already carry the bucket column, so AQE keeps it narrow)
+    broadcast_max_keys: int = 5_000_000
+
+    def _small(self, n_seen: int | None) -> bool:
+        return n_seen is not None and n_seen <= self.broadcast_max_keys

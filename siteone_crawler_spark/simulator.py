@@ -26,7 +26,12 @@ from .config import (
     CrawlConfig,
 )
 from .functions.robots import compile_rules_map, is_allowed
-from .functions.urls import HTMLISH_EXTENSIONS, canonicalize, resolve_candidate
+from .functions.urls import (
+    BREAKER_EXEMPT_BASENAMES,
+    HTMLISH_EXTENSIONS,
+    canonicalize,
+    resolve_candidate,
+)
 import re
 
 
@@ -37,10 +42,6 @@ class SimResult:
     seen: dict[str, str] = field(default_factory=dict)  # url_key -> url
     skipped: list[tuple] = field(default_factory=list)  # (url, reason, source_uq_id, source_attr)
     waves: int = 0
-
-
-def _basename(path: str) -> str:
-    return path.rsplit("/", 1)[-1]
 
 
 def simulate(site, config: CrawlConfig) -> SimResult:
@@ -78,12 +79,14 @@ def simulate(site, config: CrawlConfig) -> SimResult:
                 skipped_keys.add(key)
                 res.skipped.append((url, SKIP_NOT_ALLOWED_HOST, source_uq_id, source_attr))
             return
-        # P4 basename circuit breaker (silent drop)
-        if basename_fails.get(_basename(cand["path"]), 0) >= config.max_non200_per_basename:
+        # P4 basename circuit breaker (enqueue side trips at >=, crawler.rs:1086;
+        # root/empty basenames are exempt — get_base_name returns None)
+        bn = cand["basename"]
+        if bn is not None and basename_fails.get(bn, 0) >= config.max_non200_per_basename:
             return
         # P5 robots -> skipped(RobotsTxt), first-wins
         if not config.ignore_robots_txt and not is_allowed(
-            rules_map.get(cand["host"]), cand["path"]
+            rules_map.get(cand["host"]), cand["path"], cand["query"]
         ):
             if key not in skipped_keys and key not in res.seen:
                 skipped_keys.add(key)
@@ -123,16 +126,19 @@ def simulate(site, config: CrawlConfig) -> SimResult:
         size = m["size"] if m else 0
         rt = m["request_time_ms"] if m else 0.0
 
-        # process-time basename circuit breaker pre-check -> status -6, no fetch
-        cpath = canonicalize(url)["path"]
-        bn = _basename(cpath)
-        if basename_fails.get(bn, 0) >= config.max_non200_per_basename:
+        # process-time basename circuit breaker pre-check -> status -6, no
+        # fetch. Trips STRICTLY ABOVE the max (crawler.rs:507-509 uses
+        # `count > max`, unlike the enqueue side's >=).
+        bn = canonicalize(url)["basename"]
+        if bn is not None and basename_fails.get(bn, 0) > config.max_non200_per_basename:
             res.crawl_order.append((seq, url, uq_id, src_uq, src_attr, wave, -6, 0, 0.0))
             seq += 1
             continue
 
         res.crawl_order.append((seq, url, uq_id, src_uq, src_attr, wave, status, size, rt))
-        if status != 200:
+        # non-200 bookkeeping (crawler.rs:1440-1451): root and index.html/
+        # index.htm/index basenames are never counted
+        if status != 200 and bn is not None and bn not in BREAKER_EXEMPT_BASENAMES:
             basename_fails[bn] = basename_fails.get(bn, 0) + 1
 
         # redirect enqueue (301-308 + Location), source_attr=Redirect

@@ -91,6 +91,30 @@ class CheckpointStore:
                 total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
         return total
 
+    def min_stat(self, table: str, wave: int, column: str):
+        """Minimum value of `column` over a wave dir, from parquet row-group
+        footer statistics (driver-side metadata read — no Spark job).
+        Returns None when the dir is missing, empty, or stats are absent."""
+        import pyarrow.parquet as pq
+
+        d = self._wave_dir(table, wave)
+        if not os.path.isdir(d):
+            return None
+        mn = None
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            try:
+                idx = md.schema.names.index(column)
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+        return mn
+
     def collect_lineage(self, wave: int, tables: tuple[str, ...]) -> list[tuple]:
         """Per-partition lineage for a committed wave: one row per output file
         (file == partition at write time) with its row count and byte size,
