@@ -153,6 +153,85 @@ def _shingles_sql(dialect: str, n: int = 3) -> str:
     )
 
 
+# deterministic fixture HTML per documents row (Spark side of extract_links /
+# extract_meta; the oracle reconstructs the planted links arithmetically)
+_FIXTURE_HTML_SQL = """
+SELECT cast(doc_id AS string) AS doc_id,
+  'text/html; charset=utf-8' AS content_type,
+  '<html><head><title>Doc ' || cast(doc_id * 31 % 113 AS string) || '</title>'
+  || CASE WHEN doc_id % 11 = 5
+       THEN '<base href="https://h00.corpus.test/based/">' ELSE '' END
+  || '<meta name="description" content="Synthetic page '
+  || cast(doc_id AS string) || '">'
+  || '</head><body>'
+  || '<a href="/p/' || cast((doc_id * 7 + 1) % 1000 AS string) || '">x</a>'
+  || '<a href="https://h' || lpad(cast(doc_id % 7 AS string), 2, '0')
+  || '.corpus.test/q/' || cast(doc_id AS string) || '?a=1&amp;b=2#frag">y</a>'
+  || '<a href="#frag">s</a>'
+  || '<a href="mailto:x@y.z">m</a>'
+  || '<img src="/img/' || cast(doc_id % 50 AS string) || '.png" alt="">'
+  || '<img srcset="/img/' || cast(doc_id % 50 AS string) || '-480.webp 480w, /img/'
+  || cast(doc_id % 50 AS string) || '-960.webp 960w" alt="">'
+  || '<script src="/js/app' || cast(doc_id % 3 AS string) || '.js"></script>'
+  || '<link rel="stylesheet" href="/css/site' || cast(doc_id % 2 AS string) || '.css">'
+  || '<style>.a{background:url(/img/bg' || cast(doc_id % 4 AS string) || '.avif)}</style>'
+  || '</body></html>' AS body
+FROM documents"""
+
+# DuckDB twin of sources.docs.derive_visited_from_documents: same arithmetic,
+# flags/label/lifetime derived INDEPENDENTLY (bit math over the known
+# cache-control variants) so the Spark header kernel is genuinely checked
+_VIS_ORACLE_CTE = """
+WITH d0 AS (
+  SELECT cast(doc_id AS bigint) AS did, n_chars FROM documents
+), v0 AS (
+  SELECT did, n_chars,
+    'h' || lpad(cast(did % 7 AS string), 2, '0') || '.corpus.test' AS host,
+    'https://h' || lpad(cast(did % 7 AS string), 2, '0') || '.corpus.test/p/'
+      || cast(did AS string) AS url,
+    CASE WHEN did % 10 = 7 THEN 404 WHEN did % 10 = 8 THEN 301
+         WHEN did % 10 = 9 THEN -1 ELSE 200 END AS status_code,
+    CASE cast(did % 5 AS int)
+      WHEN 0 THEN 'text/html; charset=utf-8' WHEN 1 THEN 'text/css'
+      WHEN 2 THEN 'application/javascript' WHEN 3 THEN 'image/webp'
+      ELSE 'application/json' END AS cth,
+    cast(n_chars * 3 + did % 100 AS bigint) AS size,
+    (did * 37 % 50000) / 10.0 AS rt,
+    CASE WHEN did % 3 <> 0 THEN cast(did % 5 AS int) END AS cc_idx
+  FROM d0
+), v1 AS (
+  SELECT *,
+    CASE WHEN status_code <= 0 THEN 65536 ELSE
+      coalesce(CASE cc_idx WHEN 0 THEN 273 WHEN 1 THEN 1537 WHEN 2 THEN 16401
+                           WHEN 3 THEN 2049 WHEN 4 THEN 353 END, 0)
+      + CASE WHEN did % 4 = 1 THEN 2 ELSE 0 END
+      + CASE WHEN did % 2 = 0 THEN 4 ELSE 0 END
+      + CASE WHEN did % 5 < 2 THEN 8 ELSE 0 END
+    END AS raw_flags,
+    CASE WHEN status_code > 0 AND cc_idx = 0 THEN 3600
+         WHEN status_code > 0 AND cc_idx = 2 THEN 86400 END AS cache_lifetime
+  FROM v0
+), vis AS (
+  SELECT *,
+    CASE WHEN raw_flags = 0 THEN 32768 ELSE raw_flags END AS flags,
+    CASE WHEN (raw_flags & 15) = 0 THEN 'No cache headers'
+      ELSE concat_ws(' + ',
+        CASE WHEN (raw_flags & 1) <> 0 THEN 'Cache-Control'
+             WHEN (raw_flags & 2) <> 0 THEN 'Expires' END,
+        CASE WHEN (raw_flags & 4) <> 0 THEN 'ETag' END,
+        CASE WHEN (raw_flags & 8) <> 0 THEN 'Last-Modified' END)
+    END AS cache_type,
+    CASE WHEN cth LIKE '%text/html%' THEN 'html'
+         WHEN cth LIKE '%javascript%' THEN 'script'
+         WHEN cth LIKE '%text/css%' THEN 'stylesheet'
+         WHEN cth LIKE 'image/%' THEN 'image'
+         WHEN cth LIKE '%json%' THEN 'json'
+         ELSE 'other' END AS ctype
+  FROM v1
+)
+"""
+
+
 # ----------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -360,12 +439,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         FROM events GROUP BY date_trunc('hour', ts), event_type"""
     )
 
-    # ---- training-data operators -------------------------------------------
-    q["dedup_exact"] = sqlq(
-        f"""
-        SELECT {_fp_sql('spark')} AS fp, count(*) AS n_docs, min(doc_id) AS keeper
-        FROM documents GROUP BY {_fp_sql('spark')}"""
-    )
+    # ---- training-data operators (routed through operators/dedup.py) ------
+    def q_dedup_exact(spark, sf_dir):
+        from siteone_crawler_spark.operators.dedup import exact_duplicates
+
+        _register(spark, sf_dir)
+        return exact_duplicates(spark.table("documents")).select("fp", "n_docs", "keeper")
+
+    q["dedup_exact"] = q_dedup_exact
 
     q["token_count"] = sqlq(
         f"""
@@ -392,42 +473,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         f"SELECT doc_id, {_fp_sql('spark')} AS fp FROM documents"
     )
 
-    q["minhash_signatures"] = sqlq(
-        f"""
-        WITH sh AS (
-          SELECT doc_id, explode({_shingles_sql('spark')}) AS shingle
-          FROM documents
-          WHERE doc_id < 100 AND size({_TOKS_SPARK}) >= 3
-        ), seeded AS (
-          SELECT doc_id, shingle, explode(sequence(0, 3)) AS seed FROM sh
-        )
-        SELECT doc_id, seed,
-               min(md5(cast(seed AS string) || '|' || shingle)) AS minhash
-        FROM seeded GROUP BY doc_id, seed"""
-    )
+    def q_minhash_sigs(spark, sf_dir):
+        from siteone_crawler_spark.functions.text import token_count
+        from siteone_crawler_spark.operators.dedup import minhash_signatures
 
-    q["minhash_lsh_pairs"] = sqlq(
-        f"""
-        WITH sh AS (
-          SELECT doc_id, explode({_shingles_sql('spark')}) AS shingle
-          FROM documents
-          WHERE doc_id < 200 AND size({_TOKS_SPARK}) >= 3
-        ), seeded AS (
-          SELECT doc_id, shingle, explode(sequence(0, 3)) AS seed FROM sh
-        ), sig AS (
-          SELECT doc_id, seed,
-                 min(md5(cast(seed AS string) || '|' || shingle)) AS minhash
-          FROM seeded GROUP BY doc_id, seed
-        ), bands AS (
-          SELECT doc_id, cast(seed / 2 AS int) AS band,
-                 md5(array_join(array_sort(collect_list(minhash)), ',')) AS band_key
-          FROM sig GROUP BY doc_id, cast(seed / 2 AS int)
+        _register(spark, sf_dir)
+        docs = spark.table("documents").filter(
+            (F.col("doc_id") < 100) & (token_count(F.col("text")) >= 3)
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        WHERE a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id"""
-    )
+        return minhash_signatures(docs, num_hashes=4).withColumn(
+            "seed", F.col("seed").cast("long")
+        )
+
+    q["minhash_signatures"] = q_minhash_sigs
+
+    def q_minhash_pairs(spark, sf_dir):
+        from siteone_crawler_spark.functions.text import token_count
+        from siteone_crawler_spark.operators.dedup import minhash_candidate_pairs
+
+        _register(spark, sf_dir)
+        docs = spark.table("documents").filter(
+            (F.col("doc_id") < 200) & (token_count(F.col("text")) >= 3)
+        )
+        return minhash_candidate_pairs(docs, num_hashes=4, bands=2)
+
+    q["minhash_lsh_pairs"] = q_minhash_pairs
 
     # ---- set ops / grouping sets / semi-joins / ordering sinks ------------
     q["sitemap_order"] = sqlq(
@@ -516,6 +586,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return srp_topk(emb, qv, k=10, n_planes=6, multiprobe_hamming=1)
 
     q["knn_srp_topk"] = q_knn_srp
+
+    # ---- operator-routed analyzer queries (certify operators/*.py, not SQL) --
+    def _dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from siteone_crawler_spark.sources.docs import derive_visited_from_documents
+
+        _register(spark, sf_dir)
+        return derive_visited_from_documents(spark.table("documents"))
+
+    def q_visited_ct(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import content_type_stats
+
+        return content_type_stats(_dv(spark, sf_dir))
+
+    q["visited_content_type_stats"] = q_visited_ct
+
+    def q_visited_basic(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import basic_stats
+
+        return basic_stats(_dv(spark, sf_dir))
+
+    q["visited_basic_stats"] = q_visited_basic
+
+    def q_visited_mime(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import mime_type_stats
+
+        return mime_type_stats(_dv(spark, sf_dir))
+
+    q["visited_mime_stats"] = q_visited_mime
+
+    def q_visited_sd(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import source_domain_stats
+
+        return source_domain_stats(_dv(spark, sf_dir))
+
+    q["visited_source_domain_stats"] = q_visited_sd
+
+    def q_caching_domain(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import caching_stats
+
+        return caching_stats(_dv(spark, sf_dir), by="domain")
+
+    q["caching_stats_domain"] = q_caching_domain
+
+    def q_caching_ct(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import caching_stats
+
+        return caching_stats(_dv(spark, sf_dir), by="content_type")
+
+    q["caching_stats_content_type"] = q_caching_ct
+
+    def q_caching_dct(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import caching_stats
+
+        return caching_stats(_dv(spark, sf_dir), by="domain_content_type")
+
+    q["caching_stats_domain_ct"] = q_caching_dct
+
+    def q_header_stats(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import header_stats
+
+        return header_stats(_dv(spark, sf_dir))
+
+    q["header_stats_map"] = q_header_stats
+
+    def q_format_support(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import format_support
+
+        return format_support(_dv(spark, sf_dir))
+
+    q["format_support"] = q_format_support
+
+    def q_visited_slowest(spark, sf_dir):
+        from siteone_crawler_spark.operators.analyzers import top_slowest
+
+        return top_slowest(_dv(spark, sf_dir))
+
+    q["visited_top_slowest"] = q_visited_slowest
+
+    # ---- extraction operators (F4-F8) over rendered fixture HTML ----------
+    def q_extract_links(spark, sf_dir):
+        """F4: plant a deterministic HTML page per doc, extract with the real
+        ContentProcessor UDF, explode to (doc_id, offset, kind, href). The
+        oracle reconstructs the planted links arithmetically — if any regex
+        or the dispatch order drifts, the hash breaks."""
+        from siteone_crawler_spark.sources.docs import spans_from_html
+
+        _register(spark, sf_dir)
+        html = spark.sql(_FIXTURE_HTML_SQL)
+        docs = spans_from_html(html)
+        return docs.select(
+            "doc_id", F.explode("spans").alias("s")
+        ).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("href"),
+        )
+
+    q["extract_links"] = q_extract_links
+
+    def q_extract_meta(spark, sf_dir):
+        """F8: title/description/dom-count extraction from the same fixture
+        HTML via the meta pandas UDF."""
+        from siteone_crawler_spark.sources.docs import html_docs_with_meta
+
+        _register(spark, sf_dir)
+        html = spark.sql(_FIXTURE_HTML_SQL)
+        return html_docs_with_meta(html).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "title",
+            "description",
+            "dom_count",
+        )
+
+    q["extract_meta"] = q_extract_meta
+
+    def q_dup_titles_meta(spark, sf_dir):
+        """A11/J4: group EXTRACTED titles (not a text proxy) and keep the
+        non-unique ones — blocked on F8 until this round."""
+        from siteone_crawler_spark.sources.docs import html_docs_with_meta
+
+        _register(spark, sf_dir)
+        html = spark.sql(_FIXTURE_HTML_SQL)
+        meta = html_docs_with_meta(html)
+        return (
+            meta.groupBy("title")
+            .agg(
+                F.count("*").alias("n"),
+                F.min(F.col("doc_id").cast("bigint")).alias("first_doc"),
+            )
+            .filter(F.col("n") > 1)
+        )
+
+    q["duplicate_titles_meta"] = q_dup_titles_meta
 
     def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SimHash near-dup pairs (Hamming-LSH blocked). No SQL oracle (bit
@@ -780,6 +984,255 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings, q
         ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
-    # knn_srp_topk, simhash_near_pairs: intentionally no oracle (engine-
-    # specific bucketing / bit voting) -> driver rows-only check
+    # ---- operator-routed analyzer oracles over the derived visited table ---
+    o["visited_basic_stats"] = (
+        _VIS_ORACLE_CTE
+        + """
+        SELECT count(*) AS total_urls, cast(sum(size) AS bigint) AS total_size,
+          round(sum(rt), 3) AS total_time_ms, round(avg(rt), 3) AS avg_time_ms,
+          round(min(rt), 3) AS min_time_ms, round(max(rt), 3) AS max_time_ms,
+          round(quantile_cont(CASE WHEN status_code = 200 AND ctype = 'html'
+                                   THEN rt END, 0.9), 3) AS p90_html_ms
+        FROM vis"""
+    )
+
+    o["visited_content_type_stats"] = (
+        _VIS_ORACLE_CTE
+        + """
+        SELECT ctype AS content_type, count(*) AS n,
+          cast(sum(size) AS bigint) AS total_size,
+          round(sum(rt), 3) AS total_time_ms, round(avg(rt), 3) AS avg_time_ms,
+          cast(sum(CASE WHEN status_code BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS bigint) AS s2xx,
+          cast(sum(CASE WHEN status_code BETWEEN 300 AND 399 THEN 1 ELSE 0 END) AS bigint) AS s3xx,
+          cast(sum(CASE WHEN status_code BETWEEN 400 AND 499 THEN 1 ELSE 0 END) AS bigint) AS s4xx,
+          cast(sum(CASE WHEN status_code BETWEEN 500 AND 599 THEN 1 ELSE 0 END) AS bigint) AS s5xx,
+          cast(sum(CASE WHEN status_code < 0 THEN 1 ELSE 0 END) AS bigint) AS s_err
+        FROM vis GROUP BY ctype"""
+    )
+
+    o["visited_mime_stats"] = (
+        _VIS_ORACLE_CTE
+        + """
+        SELECT lower(trim(string_split(cth, ';')[1])) AS mime, count(*) AS n,
+          cast(sum(size) AS bigint) AS total_size,
+          round(avg(rt), 3) AS avg_time_ms
+        FROM vis GROUP BY 1"""
+    )
+
+    o["visited_source_domain_stats"] = (
+        _VIS_ORACLE_CTE
+        + """
+        SELECT host, ctype AS content_type, count(*) AS n,
+          cast(sum(size) AS bigint) AS total_size,
+          round(avg(rt), 3) AS avg_time_ms
+        FROM vis GROUP BY host, ctype"""
+    )
+
+    _CACHE_AGGS = """count(*) AS n,
+          cast(sum(CASE WHEN cache_lifetime IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+            AS n_with_lifetime,
+          round(avg(cache_lifetime), 3) AS avg_lifetime,
+          min(cache_lifetime) AS min_lifetime,
+          max(cache_lifetime) AS max_lifetime"""
+
+    o["caching_stats_domain"] = (
+        _VIS_ORACLE_CTE
+        + f"""
+        SELECT host AS domain, cache_type, {_CACHE_AGGS}
+        FROM vis GROUP BY host, cache_type"""
+    )
+
+    o["caching_stats_content_type"] = (
+        _VIS_ORACLE_CTE
+        + f"""
+        SELECT ctype AS content_type, cache_type, {_CACHE_AGGS}
+        FROM vis GROUP BY ctype, cache_type"""
+    )
+
+    o["caching_stats_domain_ct"] = (
+        _VIS_ORACLE_CTE
+        + f"""
+        SELECT host AS domain, ctype AS content_type, cache_type, {_CACHE_AGGS}
+        FROM vis GROUP BY host, ctype, cache_type"""
+    )
+
+    o["header_stats_map"] = (
+        _VIS_ORACLE_CTE
+        + """
+        , hdr AS (
+          SELECT unnest(list_filter([
+            {'header': 'content-type', 'value': cth},
+            {'header': 'content-length', 'value': cast(size AS string)},
+            {'header': 'cache-control', 'value': CASE cc_idx
+               WHEN 0 THEN 'public, max-age=3600'
+               WHEN 1 THEN 'private, no-cache'
+               WHEN 2 THEN 'max-age=86400, immutable'
+               WHEN 3 THEN 'no-store'
+               WHEN 4 THEN 'public, s-maxage=7200, stale-while-revalidate=60' END},
+            {'header': 'expires', 'value': CASE WHEN did % 4 = 1
+               THEN 'Thu, 01 Jan 2026 00:00:00 GMT' END},
+            {'header': 'etag', 'value': CASE WHEN did % 2 = 0
+               THEN '"e' || cast(did AS string) || '"' END},
+            {'header': 'last-modified', 'value': CASE WHEN did % 5 < 2
+               THEN 'Wed, 01 Jan 2025 00:00:00 GMT' END},
+            {'header': 'content-encoding', 'value': CASE WHEN did % 7 = 2 THEN 'br' END},
+            {'header': 'age', 'value': CASE WHEN did % 6 = 0
+               THEN cast(did * 13 % 1000 AS string) END}
+          ], x -> x.value IS NOT NULL), recursive := true)
+          FROM vis WHERE status_code > 0
+        )
+        SELECT header, count(*) AS occurrences,
+          CASE WHEN count(DISTINCT value) > 10 THEN '10+'
+               ELSE cast(count(DISTINCT value) AS string) END AS unique_values,
+          array_to_string(list_sort(list(DISTINCT value))[1:5], ', ') AS values_preview,
+          min(CASE WHEN header IN ('content-length', 'age')
+                   THEN cast(value AS bigint) END) AS min_int,
+          max(CASE WHEN header IN ('content-length', 'age')
+                   THEN cast(value AS bigint) END) AS max_int
+        FROM hdr GROUP BY header"""
+    )
+
+    o["format_support"] = (
+        _VIS_ORACLE_CTE
+        + """
+        SELECT max(CASE WHEN status_code > 0 AND did % 7 = 2 THEN 1 ELSE 0 END) AS has_brotli,
+          max(CASE WHEN cth LIKE '%webp%' THEN 1 ELSE 0 END) AS has_webp,
+          max(CASE WHEN cth LIKE '%avif%' THEN 1 ELSE 0 END) AS has_avif
+        FROM vis"""
+    )
+
+    o["visited_top_slowest"] = (
+        _VIS_ORACLE_CTE
+        + """
+        SELECT url, rt AS request_time_ms FROM vis
+        WHERE status_code = 200
+        ORDER BY rt DESC, url ASC LIMIT 20"""
+    )
+
+    # ---- extraction oracles: reconstruct the planted links arithmetically --
+    o["extract_links"] = """
+        WITH d AS (SELECT cast(doc_id AS bigint) AS d FROM documents),
+        base_rows AS (
+          SELECT d, 0 AS r, 'a_href' AS kind,
+            '/p/' || cast((d * 7 + 1) % 1000 AS string) AS href FROM d
+          UNION ALL SELECT d, 1, 'a_href',
+            'https://h' || lpad(cast(d % 7 AS string), 2, '0') || '.corpus.test/q/'
+            || cast(d AS string) || '?a=1&amp;b=2#frag' FROM d
+          UNION ALL SELECT d, 2, 'a_href', 'mailto:x@y.z' FROM d
+          UNION ALL SELECT d, 3, 'img_src',
+            '/img/' || cast(d % 50 AS string) || '.png' FROM d
+          UNION ALL SELECT d, 4, 'css_url',
+            '/img/bg' || cast(d % 4 AS string) || '.avif' FROM d
+          UNION ALL SELECT d, 5, 'img_srcset',
+            '/img/' || cast(d % 50 AS string) || '-480.webp' FROM d
+          UNION ALL SELECT d, 6, 'img_srcset',
+            '/img/' || cast(d % 50 AS string) || '-960.webp' FROM d
+          UNION ALL SELECT d, 7, 'script_src',
+            '/js/app' || cast(d % 3 AS string) || '.js' FROM d
+          UNION ALL SELECT d, 8, 'link_href',
+            '/css/site' || cast(d % 2 AS string) || '.css' FROM d
+          UNION ALL SELECT d, 9, 'css_url',
+            '/img/bg' || cast(d % 4 AS string) || '.avif' FROM d
+        )
+        SELECT d AS doc_id,
+          cast(CASE WHEN d % 11 = 5 THEN r + 1 ELSE r END AS int) AS offset,
+          kind, href
+        FROM base_rows
+        UNION ALL
+        SELECT d, 0, 'base_href', 'https://h00.corpus.test/based/'
+        FROM d WHERE d % 11 = 5"""
+
+    o["extract_meta"] = """
+        SELECT cast(doc_id AS bigint) AS doc_id,
+          'Doc ' || cast(doc_id * 31 % 113 AS string) AS title,
+          'Synthetic page ' || cast(doc_id AS string) AS description,
+          cast(CASE WHEN doc_id % 11 = 5 THEN 15 ELSE 14 END AS int) AS dom_count
+        FROM documents"""
+
+    # J4/A11: real title-uniqueness grouping over EXTRACTED titles
+    # (best_practice_analyzer.rs:615-860); fixture plants collisions via
+    # the d*31 % 113 residue
+    o["duplicate_titles_meta"] = """
+        SELECT 'Doc ' || cast(doc_id * 31 % 113 AS string) AS title,
+          count(*) AS n, min(cast(doc_id AS bigint)) AS first_doc
+        FROM documents
+        GROUP BY doc_id * 31 % 113 HAVING count(*) > 1"""
+
+    # SRP/LSH ANN: the oracle REPLICATES the deterministic ±1 hyperplanes
+    # (md5-parity signs, similarity.hyperplane_signs) and the multiprobe
+    # bucket pruning in pure SQL, then takes exact cosine top-k within the
+    # probed buckets — a full independent twin of the bucketed ANN path.
+    o["knn_srp_topk"] = """
+        WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        ps AS (SELECT unnest(generate_series(0, 5)) AS p),
+        planes AS (
+          SELECT p, d,
+            CASE WHEN ('0x' || substring(md5(cast(p AS string) || '|'
+                 || cast(d AS string)), 1, 2))::INT % 2 = 0
+            THEN 1.0 ELSE -1.0 END AS w
+          FROM ps, dims
+        ),
+        vecexp AS (
+          SELECT vec_id, d, cast(embedding[d + 1] AS double) AS x
+          FROM embeddings, dims
+        ),
+        dots AS (
+          SELECT vec_id, p, sum(x * w) AS dot
+          FROM vecexp JOIN planes USING (d) GROUP BY vec_id, p
+        ),
+        buckets AS (
+          SELECT vec_id,
+            cast(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+          FROM dots GROUP BY vec_id
+        ),
+        qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+        cand AS (
+          SELECT b.vec_id FROM buckets b, qb
+          WHERE bit_count(cast(xor(b.bucket, qb.qbucket) AS bigint)) <= 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+          round(list_cosine_similarity(cast(e.embedding AS double[]),
+                                       cast(q.qv AS double[])), 6) AS cos
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+    # SimHash near-dup pairs: full SQL twin — md5-low-64 token hashes,
+    # per-bit majority vote (ties -> 0), 16-bit Hamming-LSH blocking, exact
+    # Hamming verify (operators/dedup.simhash64 + simhash_near_pairs).
+    o["simhash_near_pairs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS_DUCK}) AS t FROM documents
+        ),
+        th AS (
+          SELECT doc_id, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h FROM toks
+        ),
+        bits AS (
+          SELECT doc_id, b,
+            sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+          GROUP BY doc_id, b
+        ),
+        fp0 AS (
+          SELECT doc_id,
+            cast(sum(CASE WHEN vote > 0 THEN
+              (CASE WHEN b = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << b) END) ELSE 0 END) AS bigint) AS simhash
+          FROM bits GROUP BY doc_id
+        ),
+        fp AS (
+          SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN fp0 f USING (doc_id)
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(bit_count(cast(xor(a.simhash, b.simhash) AS bigint)) AS int) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE ((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+             OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+             OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+             OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12"""
+
     return o

@@ -39,11 +39,15 @@ FANOUT = 8
 
 
 def _build_frontier(spark, docs, n: int):
-    """Wave-0 frontier for the first n docs of the bench corpus (native)."""
-    from pyspark.sql import Window as W
+    """Wave-0 frontier for the first n docs of the bench corpus (native).
+    Seq assignment uses the scalable two-pass ranker — a bare
+    row_number() over an unpartitioned window would funnel the whole
+    frontier through one task (the exact anti-pattern ordering.py avoids)."""
     from pyspark.sql import functions as F
 
-    return (
+    from siteone_crawler_spark.operators.ordering import with_global_seq
+
+    base = (
         docs.select("doc_id").limit(n)
         .select(
             F.col("doc_id").alias("url"),
@@ -55,9 +59,10 @@ def _build_frontier(spark, docs, n: int):
             F.lit(2).alias("depth"),
             F.lit(0).alias("wave"),
         )
-        .withColumn("seq", (F.row_number().over(W.orderBy("url_key")) - 1).cast("long"))
-        .withColumn("source_uq_id", F.lit(""))
-        .withColumn("source_attr", F.lit(91))
+    )
+    ranked, _n = with_global_seq(base, ["url_key"], seq_col="seq", small_threshold=0)
+    return ranked.withColumn("source_uq_id", F.lit("")).withColumn(
+        "source_attr", F.lit(91)
     )
 
 

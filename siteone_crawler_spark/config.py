@@ -9,6 +9,30 @@ import re
 from dataclasses import dataclass, field
 
 
+def is_pcre_pattern(s: str) -> bool:
+    """F13 (reference utils.rs:14-31): a delimited PCRE literal like
+    /pat/i, #pat#, ~pat~, %pat% with lowercase-only trailing flags."""
+    if len(s) < 2 or s[0] not in "/#~%":
+        return False
+    last = s.rfind(s[0], 1)
+    if last < 1:
+        return False
+    return all(c.islower() and c.isascii() for c in s[last + 1 :])
+
+
+def normalize_pcre_pattern(s: str) -> str:
+    """F13 (utils.rs:35-52): '/pat/i' -> '(?i)pat'; non-delimited strings
+    pass through unchanged. Config-time only — compiled patterns are used
+    both by Java rlike (engine) and Python re (simulator), which share the
+    (?i) inline-flag syntax."""
+    if not is_pcre_pattern(s):
+        return s
+    delim = s[0]
+    end = s.rfind(delim, 1)
+    pattern, flags = s[1:end], s[end + 1 :]
+    return ("(?i)" if "i" in flags else "") + pattern
+
+
 @dataclass(frozen=True)
 class CrawlConfig:
     workers: int = 1  # parity fixtures pin workers=1 BFS semantics
@@ -32,6 +56,20 @@ class CrawlConfig:
     default_crawl_delay: float = 1.0  # used when robots has no Crawl-delay
     politeness_salts: int = 1  # >1: split a hot host's window across salts
     max_waves: int = 0  # 0 = until frontier empty
+    single_foreign_page: bool = False  # P13: no <a href> from foreign-d2l pages
+
+    def __post_init__(self):
+        # F13: accept the reference's delimited-PCRE config syntax
+        object.__setattr__(
+            self,
+            "include_regex",
+            tuple(normalize_pcre_pattern(p) for p in self.include_regex),
+        )
+        object.__setattr__(
+            self,
+            "ignore_regex",
+            tuple(normalize_pcre_pattern(p) for p in self.ignore_regex),
+        )
 
     def allowed_domain_regexes(self) -> list[re.Pattern]:
         """`*.example.com` wildcard allowlist -> anchored regexes

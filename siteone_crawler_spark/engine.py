@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .functions import headers as hdrs
 from .config import (
     ASSET_KINDS,
     NON_LINK_KINDS,
@@ -67,7 +68,8 @@ FRONTIER_SCHEMA = (
     " depth int, wave int, seq long, source_uq_id string, source_attr int"
 )
 VISITED_SCHEMA = FRONTIER_SCHEMA + (
-    ", status_code int, content_type_header string, size long, request_time_ms double"
+    ", status_code int, content_type_header string, size long, request_time_ms double,"
+    " headers map<string,string>, cache_type_flags int, cache_lifetime int"
 )
 SKIPPED_SCHEMA = (
     "url string, url_key string, reason int, source_uq_id string, source_attr int, wave int,"
@@ -153,6 +155,8 @@ class CrawlEngine:
             robots_rules=None if cfg.ignore_robots_txt else rules,
         )
         docs = docs.withColumnRenamed("doc_id", "__doc_url")
+        if "headers" not in meta.columns:
+            meta = meta.withColumn("headers", F.lit(None).cast("map<string,string>"))
         meta = meta.withColumnRenamed("doc_id", "__meta_url")
 
         manifest = self.store.read_manifest()
@@ -321,6 +325,16 @@ class CrawlEngine:
             F.when(F.col("status") == -6, F.lit(0.0))
             .otherwise(F.coalesce(F.col("request_time_ms"), F.lit(0.0)))
             .alias("request_time_ms"),
+            # F9 header model: flags/lifetime only for real responses
+            # (crawler.rs:766-772 -> NOT_AVAILABLE when status <= 0)
+            F.when(F.col("status") > 0, F.col("headers")).alias("headers"),
+            F.when(F.col("status") <= 0, F.lit(hdrs.NOT_AVAILABLE))
+            .otherwise(hdrs.cache_flags_expr(F.col("headers")))
+            .cast("int")
+            .alias("cache_type_flags"),
+            F.when(
+                F.col("status") > 0, hdrs.cache_lifetime_expr(F.col("headers"))
+            ).alias("cache_lifetime"),
         )
         self.store.write_table("visited", wave, visited, max_files=self._nfiles(n_pending))
         _mark("visited_write")
@@ -339,6 +353,7 @@ class CrawlEngine:
             pages.withColumn("base", base_expr)
             .select(
                 "base",
+                "host",
                 F.col("seq").alias("parent_seq"),
                 F.col("uq_id").alias("source_uq_id"),
                 F.explode("spans").alias("s"),
@@ -349,6 +364,15 @@ class CrawlEngine:
             link_spans = link_spans.filter(~F.col("s.kind").isin(*ASSET_KINDS))
         if cfg.single_page:
             link_spans = link_spans.filter(F.col("s.kind") != "a_href")
+        if cfg.single_foreign_page:
+            # P13 remainder (html_processor.rs:180-182): pages on a foreign
+            # 2nd-level domain contribute no <a href> links
+            d2l = F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)
+            init_d2l = ".".join(self.initial_host.split(".")[-2:])
+            link_spans = link_spans.filter(
+                (F.col("s.kind") != "a_href") | (d2l == F.lit(init_d2l))
+            )
+        link_spans = link_spans.drop("host")
         candidates = link_spans.select(
             "base",
             F.col("s.text").alias("href"),

@@ -51,8 +51,36 @@ META_SCHEMA = T.StructType(
         T.StructField("redirect_location", T.StringType()),
         T.StructField("size", T.LongType()),
         T.StructField("request_time_ms", T.DoubleType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
     ]
 )
+
+_CACHE_CONTROL_VARIANTS = (
+    "public, max-age=3600",
+    "private, no-cache",
+    "max-age=86400, immutable",
+    "no-store",
+    "public, s-maxage=7200, stale-while-revalidate=60",
+)
+
+
+def _headers_for(url: str, ct: str, size: int, j: int) -> dict[str, str]:
+    """Deterministic synthetic response headers (lowercased keys, like the
+    reference's normalized header map) exercising every cache bitflag path."""
+    h = {"content-type": ct, "server": "synthetic/1.0", "content-length": str(size)}
+    if j % 3 != 0:
+        h["cache-control"] = _CACHE_CONTROL_VARIANTS[j % len(_CACHE_CONTROL_VARIANTS)]
+    if j % 4 == 1:
+        h["expires"] = "Thu, 01 Jan 2026 00:00:00 GMT"
+    if j % 2 == 0:
+        h["etag"] = f'"{j}-{len(url)}"'
+    if j % 5 < 2:
+        h["last-modified"] = "Wed, 01 Jan 2025 00:00:00 GMT"
+    if j % 6 == 0:
+        h["age"] = str((j * 13) % 1000)
+    if j % 7 == 2:
+        h["content-encoding"] = "br"
+    return h
 
 
 @dataclass
@@ -169,6 +197,10 @@ def generate_site(
                 spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
                 off += 1
 
+            # <base href> override on some pages (crawler.rs:963-987): the
+            # page's RELATIVE links resolve against /based/ instead
+            if j % 11 == 5:
+                add("base_href", f"https://{host}/based/")
             add("text", f"Welcome to page {j} of {host}. " * (1 + j % 3))
             # intra-host nav links
             for k in range(fanout):
@@ -187,6 +219,13 @@ def generate_site(
             # per-page image
             if j % 4 == 0:
                 add("img_src", f"/img/pic{j}.webp", f"https://{host}/img/pic{j}.webp")
+            # responsive srcset variant (html_processor.rs:286-303)
+            if j % 6 == 3:
+                add("img_srcset", f"/img/rs{j}-480.png", f"https://{host}/img/rs{j}-480.png")
+                add("img_srcset", f"/img/rs{j}-960.png", f"https://{host}/img/rs{j}-960.png")
+            # CSS url() image ref inside an inline <style> block
+            if j % 8 == 6:
+                add("css_url", f"/img/bg{j % 3}.avif", f"https://{host}/img/bg{j % 3}.avif")
             # invalid links (always dropped, never skipped-recorded)
             if j % 3 == 0:
                 add("a_href", "mailto:info@example.test")
@@ -235,7 +274,8 @@ def generate_site(
                 }
             )
 
-        # asset docs (fetchable, no outlinks)
+        # asset docs (fetchable; css/js assets carry their OWN outlink spans —
+        # the CssProcessor/JsProcessor run on fetched css/js bodies too)
         asset_urls = [f"https://{host}{p}" for p in shared_assets.values()]
         asset_urls += [f"https://{host}/img/pic{j}.webp" for j in range(0, n, 4)]
         for au in asset_urls:
@@ -248,7 +288,25 @@ def generate_site(
                 if au.endswith(".webp")
                 else "image/png"
             )
-            site.docs.append({"doc_id": au, "spans": []})
+            aspans: list[dict] = []
+            if au.endswith(".css"):
+                # url() refs found by the CssProcessor (css_processor.rs:61-89)
+                aspans = [
+                    {"kind": "css_url", "text": "/fonts/brand.woff2",
+                     "media_ref": f"https://{host}/fonts/brand.woff2", "offset": 0},
+                    {"kind": "css_url", "text": "/img/sprite.png",
+                     "media_ref": f"https://{host}/img/sprite.png", "offset": 1},
+                ]
+            elif au.endswith(".js"):
+                # import-from refs found by the JsProcessor
+                # (javascript_processor.rs:61-90)
+                aspans = [
+                    {"kind": "js_url", "text": "/static/chunk0.js",
+                     "media_ref": f"https://{host}/static/chunk0.js", "offset": 0},
+                    {"kind": "js_url", "text": "./chunk1.js",
+                     "media_ref": f"https://{host}/static/chunk1.js", "offset": 1},
+                ]
+            site.docs.append({"doc_id": au, "spans": aspans})
             site.meta.append(
                 {
                     "doc_id": au,
@@ -259,6 +317,30 @@ def generate_site(
                     "request_time_ms": _latency(au, seed),
                 }
             )
+
+        # sitemap.xml doc (S5): referenced by robots' Sitemap line (which the
+        # reference parses but never enqueues — crawl it only via explicit
+        # seeding); lists a sample of pages as sitemap_loc spans
+        sm_url = f"https://{host}/sitemap.xml"
+        site.docs.append(
+            {
+                "doc_id": sm_url,
+                "spans": [
+                    {"kind": "sitemap_loc", "text": u, "media_ref": u, "offset": i}
+                    for i, u in enumerate(urls[:: max(1, n // 5)])
+                ],
+            }
+        )
+        site.meta.append(
+            {
+                "doc_id": sm_url,
+                "status_code": 200,
+                "content_type_header": "application/xml",
+                "redirect_location": None,
+                "size": 512,
+                "request_time_ms": _latency(sm_url, seed),
+            }
+        )
 
         # robots-allowed /private/open page
         open_url = f"https://{host}/private/open/ok"
@@ -325,6 +407,13 @@ def generate_site(
                     "request_time_ms": _latency(bu, seed),
                 }
             )
+
+    # response headers for every doc, derived from the url alone (F9 input)
+    for m in site.meta:
+        j = sum(m["doc_id"].encode()) % 60
+        m["headers"] = _headers_for(
+            m["doc_id"], m["content_type_header"], m["size"], j
+        )
 
     site.seeds = [(f"https://{hosts[0]}/", 5)]  # 5 = InitUrl
     rng.random()  # keep rng in the signature-stable path
@@ -437,6 +526,92 @@ def generate_site_df(
     return docs, meta, robots, seed_urls
 
 
+def render_doc_body(doc_id: str, spans: list[dict], content_type: str) -> str:
+    """Render a spans doc to raw content (HTML/CSS/JS/XML) such that
+    operators.extract recovers the link spans — the generator-side inverse
+    of the ContentProcessor family. Span kinds map to the markup forms the
+    reference's regexes target (html_processor.rs:28-143)."""
+    ct = (content_type or "").lower()
+    if "css" in ct:
+        return "\n".join(
+            f'.c{i}{{background:url("{s["text"]}")}}'
+            for i, s in enumerate(spans)
+            if s["kind"] == "css_url"
+        )
+    if "javascript" in ct or ct.endswith("/js"):
+        return "\n".join(
+            f'import m{i} from "{s["text"]}";'
+            for i, s in enumerate(spans)
+            if s["kind"] == "js_url"
+        )
+    if "xml" in ct:
+        from xml.sax.saxutils import escape
+
+        locs = "".join(
+            f"<url><loc>{escape(s['text'])}</loc></url>"
+            for s in spans
+            if s["kind"] == "sitemap_loc"
+        )
+        return f'<?xml version="1.0"?><urlset>{locs}</urlset>'
+
+    head: list[str] = [f"<title>Page {doc_id}</title>"]
+    body: list[str] = []
+    n_img = 0
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        k, t = s["kind"], s["text"]
+        if k == "base_href":
+            head.append(f'<base href="{t}">')
+        elif k == "text":
+            body.append(f"<p>{t}</p>")
+        elif k == "a_href":
+            body.append(f'<a href="{t}">x</a>')
+        elif k == "img_src":
+            body.append(f'<img src="{t}" alt="">')
+        elif k == "img_srcset":
+            n_img += 1
+            body.append(f'<img srcset="{t} {n_img}x" alt="">')
+        elif k == "input_src":
+            body.append(f'<input type="image" src="{t}">')
+        elif k == "source_src":
+            body.append(f'<source src="{t}">')
+        elif k == "audio_src":
+            body.append(f'<audio src="{t}"></audio>')
+        elif k == "video_src":
+            body.append(f'<video src="{t}"></video>')
+        elif k == "script_src":
+            body.append(f'<script src="{t}"></script>')
+        elif k == "inline_script_src":
+            body.append(f'<script>el.src = "{t}";</script>')
+        elif k == "css_url":
+            body.append(f"<style>.bg{{background:url({t})}}</style>")
+        elif k == "link_href":
+            low = t.lower().split("?", 1)[0]
+            if low.endswith((".css",)):
+                body.append(f'<link rel="stylesheet" href="{t}">')
+            elif low.endswith((".eot", ".ttf", ".woff", ".woff2", ".otf")):
+                body.append(f'<link rel="preload" href="{t}" as="font">')
+            elif low.endswith((".js", ".json")):
+                body.append(f'<link rel="modulepreload" href="{t}">')
+            else:
+                body.append(f'<link rel="icon" href="{t}">')
+        # redirect_location is carried by meta, not markup
+    return (
+        "<html><head>" + "".join(head) + "</head><body>"
+        + "\n".join(body)
+        + "</body></html>"
+    )
+
+
+def site_to_html(site: Site) -> list[tuple[str, str, str]]:
+    """(doc_id, content_type, body) triples for the extraction pipeline."""
+    metas = site.meta_map()
+    out = []
+    for d in site.docs:
+        ct = metas[d["doc_id"]]["content_type_header"] or "text/html"
+        out.append((d["doc_id"], ct, render_doc_body(d["doc_id"], d["spans"], ct)))
+    return out
+
+
 def site_to_dfs(spark, site: Site):
     """Materialize the site as Spark DataFrames (docs, docs_meta, robots, seeds)."""
     docs = spark.createDataFrame(
@@ -452,6 +627,7 @@ def site_to_dfs(spark, site: Site):
                 m["redirect_location"],
                 m["size"],
                 m["request_time_ms"],
+                m.get("headers"),
             )
             for m in site.meta
         ],

@@ -176,6 +176,110 @@ def errors_list(visited: DataFrame, status: int = 404) -> DataFrame:
     )
 
 
+def caching_stats(visited: DataFrame, by: str = "domain") -> DataFrame:
+    """A5 (caching_analyzer.rs:244-330): cache-type-label stats per domain /
+    content type / (domain, content type). Measures per group: row count,
+    rows with a lifetime, avg/min/max lifetime (update_cache_stat,
+    caching_analyzer.rs:68-83). The reference builds three tables manually —
+    a hand-rolled cube; here each is one hash aggregate (map-side partial)."""
+    from ..functions.headers import cache_label_expr
+
+    v = visited.withColumn("cache_type", cache_label_expr(F.col("cache_type_flags")))
+    if by == "domain":
+        keys = [F.col("host").alias("domain")]
+    elif by == "content_type":
+        keys = [classify_content_type(F.col("content_type_header")).alias("content_type")]
+    elif by == "domain_content_type":
+        keys = [
+            F.col("host").alias("domain"),
+            classify_content_type(F.col("content_type_header")).alias("content_type"),
+        ]
+    else:
+        raise ValueError(by)
+    key_names = [
+        "domain" if by != "content_type" else "content_type",
+    ] + (["content_type"] if by == "domain_content_type" else [])
+    return (
+        v.groupBy(*keys, F.col("cache_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("cache_lifetime").isNotNull(), 1).otherwise(0)).alias(
+                "n_with_lifetime"
+            ),
+            F.round(F.avg("cache_lifetime"), 3).alias("avg_lifetime"),
+            F.min("cache_lifetime").alias("min_lifetime"),
+            F.max("cache_lifetime").alias("max_lifetime"),
+        )
+        .orderBy(*key_names, "cache_type")
+    )
+
+
+def header_stats(visited: DataFrame, unique_cap: int = 10, preview_n: int = 5) -> DataFrame:
+    """A6 (headers_analyzer.rs:41-98 + header_stats.rs): explode the headers
+    map -> per header name: occurrences, bounded distinct-value count
+    (the reference caps the unique set and renders 'N+'; distributed twin =
+    slice(sort_array(collect_set))), value preview, numeric min/max for
+    content-length/age. collect_set is bounded per group by the cap -> no
+    unbounded state at 10^10 rows (approx_count_distinct would also work but
+    the capped-exact form matches the reference's 'N+' output)."""
+    h = (
+        visited.filter(F.col("headers").isNotNull())
+        .select(F.explode("headers").alias("header", "value"))
+    )
+    numeric = F.col("header").isin("content-length", "age")
+    uniq = F.slice(F.sort_array(F.collect_set("value")), 1, unique_cap + 1)
+    return (
+        h.groupBy("header")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.when(F.size(uniq) > unique_cap, F.lit(f"{unique_cap}+"))
+            .otherwise(F.size(uniq).cast("string"))
+            .alias("unique_values"),
+            F.array_join(F.slice(F.sort_array(F.collect_set("value")), 1, preview_n), ", ").alias(
+                "values_preview"
+            ),
+            F.min(F.when(numeric, F.col("value").cast("long"))).alias("min_int"),
+            F.max(F.when(numeric, F.col("value").cast("long"))).alias("max_int"),
+        )
+        .orderBy(F.desc("occurrences"), "header")
+    )
+
+
+def format_support(visited: DataFrame) -> DataFrame:
+    """A12 (best_practice_analyzer.rs:864-960): Brotli/WebP/AVIF existence
+    aggregates over headers and urls — one global agg row."""
+    enc = F.lower(F.coalesce(F.col("headers")["content-encoding"], F.lit("")))
+    cth = F.lower(F.coalesce(F.col("content_type_header"), F.lit("")))
+    url = F.lower(F.col("url"))
+    return visited.agg(
+        F.max(F.when(enc.contains("br"), 1).otherwise(0)).alias("has_brotli"),
+        F.max(
+            F.when(cth.contains("webp") | url.endswith(".webp"), 1).otherwise(0)
+        ).alias("has_webp"),
+        F.max(
+            F.when(cth.contains("avif") | url.endswith(".avif"), 1).otherwise(0)
+        ).alias("has_avif"),
+    )
+
+
+def mime_type_stats(visited: DataFrame) -> DataFrame:
+    """A3 (content_type_analyzer.rs second table): stats by the RAW
+    content-type header value (parameters stripped, lowercased)."""
+    raw = F.lower(
+        F.trim(F.split(F.coalesce(F.col("content_type_header"), F.lit("")), ";")[0])
+    )
+    return (
+        visited.withColumn("mime", raw)
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("size").alias("total_size"),
+            F.round(F.avg("request_time_ms"), 3).alias("avg_time_ms"),
+        )
+        .orderBy(F.desc("n"), "mime")
+    )
+
+
 def wave_stats(visited: DataFrame) -> DataFrame:
     """Frontier-shape analytics: per-wave row counts and status mix (the
     engine's own lineage view; no reference analog — wave is our construct)."""

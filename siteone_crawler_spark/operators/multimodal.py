@@ -110,16 +110,28 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 8) -> Data
 
 
 def media_repartition(media: DataFrame, target_bytes: int = 256 << 20) -> DataFrame:
-    """Repartition media rows so each partition carries ~target_bytes of
-    payload: salt = cumulative-bytes bucket via a size-weighted hash. A plain
-    repartition(n) would balance ROW counts and let a few 4K-video rows blow
-    an executor's memory."""
-    sized = media.withColumn("__sz", F.coalesce(F.length("payload"), F.lit(0)).cast("long"))
-    total = sized.agg(F.sum("__sz")).first()[0] or 0
-    n_parts = max(1, int(total // target_bytes) + 1)
+    """Byte-aware repartition: rows whose payload alone reaches
+    `target_bytes` each get their OWN partition (a few 4K-video rows can't
+    co-land and blow an executor), while small rows hash-spread across
+    ceil(total_small_bytes / target) partitions — ~target bytes per
+    partition in expectation. A plain repartition(n) balances ROW counts
+    only. Two tiny aggregates (sum + count) size the layout; no global sort."""
+    sized = media.withColumn(
+        "__sz", F.coalesce(F.length("payload"), F.lit(0)).cast("long")
+    )
+    big_pred = F.col("__sz") >= target_bytes
+    stats = sized.agg(
+        F.sum(F.when(~big_pred, F.col("__sz")).otherwise(0)).alias("small_bytes"),
+        F.sum(F.when(big_pred, 1).otherwise(0)).alias("n_big"),
+    ).first()
+    n_small = max(1, int((stats["small_bytes"] or 0) // target_bytes) + 1)
+    n_big = int(stats["n_big"] or 0)
+    salt = F.when(
+        big_pred, F.lit(n_small) + F.pmod(F.xxhash64("media_id"), F.lit(max(n_big, 1)))
+    ).otherwise(F.pmod(F.xxhash64("media_id"), F.lit(n_small)))
     return (
-        sized.withColumn("__salt", F.pmod(F.xxhash64("media_id"), F.lit(n_parts)))
-        .repartition(n_parts, "__salt")
+        sized.withColumn("__salt", salt)
+        .repartition(n_small + n_big, "__salt")
         .drop("__sz", "__salt")
     )
 

@@ -158,14 +158,22 @@ def simulate(site, config: CrawlConfig) -> SimResult:
                 if s["kind"] == "base_href":
                     base = s["text"]
                     break
+            page_host = canonicalize(url)["host"]
+            foreign = (
+                config.single_foreign_page
+                and ".".join(page_host.split(".")[-2:])
+                != ".".join(initial_host.split(".")[-2:])
+            )
             for s in spans:
                 kind = s["kind"]
                 if kind in NON_LINK_KINDS:
                     continue
                 if not config.crawl_assets and kind in ASSET_KINDS:
                     continue
-                # P13: single-page suppresses <a href> extraction only
-                if config.single_page and kind == "a_href":
+                # P13: single-page suppresses <a href> extraction only;
+                # single-foreign-page suppresses it on foreign-d2l pages
+                # (html_processor.rs:180-182, 781-783)
+                if (config.single_page or foreign) and kind == "a_href":
                     continue
                 cand = resolve_candidate(
                     base, s["text"], initial_host, initial_scheme,

@@ -1,0 +1,271 @@
+"""F16: HTML -> Markdown converter (S10's per-page core).
+
+Reimplements (from public behavior) the reference's
+HtmlToMarkdownConverter (/root/reference/src/export/utils/
+html_to_markdown.rs, behavior vectors :1190-1390): ATX/Setext headings,
+strong/em/strikethrough delimiters, links, images, nested ordered/
+unordered lists, fenced code blocks with language from `class=
+"language-*"`, inline code, blockquotes, `* * *` horizontal rules,
+pipe tables, script/style/head removal, excluded selectors (tag, .class,
+#id, [attr='value'] — the subset the reference's implicit exclusion list
+uses: aria-hidden, role=menu, cookie banners, .hidden variants).
+
+Pure stdlib (html.parser) — no external HTML libs in this image. The
+Spark surface is `html_to_markdown_udf`, an Arrow-batched pandas UDF for
+the markdown exporter sink.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+BLOCK_TAGS = frozenset(
+    "p div section article header footer main aside nav h1 h2 h3 h4 h5 h6 ul ol li "
+    "table tr blockquote pre figure figcaption".split()
+)
+SKIP_TAGS = frozenset("script style head noscript template svg iframe".split())
+
+IMPLICIT_EXCLUDED_SELECTORS = [
+    ".hidden", ".hide", ".invisible",
+    "[aria-hidden='true']", "[role='menu']",
+    ".cookie-panel", ".cookie-banner", ".cookie-consent", ".cookie-notice",
+    ".cookie-bar", "#cookie-banner", "#cookie-consent", "#cookie-notice",
+    "#cookiebanner", ".cc-window",
+]
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "text")
+
+    def __init__(self, tag, attrs=None, text=None):
+        self.tag = tag
+        self.attrs = dict(attrs or {})
+        self.children: list[_Node] = []
+        self.text = text
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("__root__")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, attrs)
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag, attrs))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(_Node("__text__", text=data))
+
+
+def _matches_selector(node: _Node, sel: str) -> bool:
+    sel = sel.strip()
+    m = re.match(r"^\[([a-zA-Z-]+)=['\"]?([^'\"\]]*)['\"]?\]$", sel)
+    if m:
+        return node.attrs.get(m.group(1)) == m.group(2)
+    if sel.startswith("."):
+        cls = sel[1:].replace("\\:", ":")
+        return cls in (node.attrs.get("class") or "").split()
+    if sel.startswith("#"):
+        return node.attrs.get("id") == sel[1:]
+    return node.tag == sel
+
+
+class HtmlToMarkdown:
+    def __init__(
+        self,
+        excluded_selectors: list[str] | None = None,
+        strong_delimiter: str = "**",
+        em_delimiter: str = "*",
+        bullet_list_marker: str = "-",
+        code_block_fence: str = "```",
+        horizontal_rule: str = "* * *",
+        heading_style: str = "atx",  # 'atx' | 'setext'
+        include_images: bool = True,
+        convert_tables: bool = True,
+        convert_strikethrough: bool = True,
+        strikethrough_delimiter: str = "~~",
+    ):
+        self.excluded = list(excluded_selectors or []) + IMPLICIT_EXCLUDED_SELECTORS
+        self.strong = strong_delimiter
+        self.em = em_delimiter
+        self.bullet = bullet_list_marker if bullet_list_marker in "-*+" else "-"
+        self.fence = code_block_fence
+        self.hr = horizontal_rule
+        self.heading_style = heading_style
+        self.include_images = include_images
+        self.convert_tables = convert_tables
+        self.convert_strikethrough = convert_strikethrough
+        self.strike = strikethrough_delimiter
+
+    # ---------------------------------------------------------------- public
+    def convert(self, html: str) -> str:
+        builder = _TreeBuilder()
+        builder.feed(html or "")
+        md = self._render_children(builder.root, depth=0)
+        md = re.sub(r"\n{3,}", "\n\n", md)
+        return md.strip("\n") + ("\n" if md.strip() else "")
+
+    # --------------------------------------------------------------- render
+    def _excluded(self, node: _Node) -> bool:
+        return any(_matches_selector(node, s) for s in self.excluded)
+
+    def _render_children(self, node: _Node, depth: int) -> str:
+        out = []
+        for c in node.children:
+            out.append(self._render(c, depth))
+        return "".join(out)
+
+    def _inline(self, node: _Node, depth: int = 0) -> str:
+        return self._render_children(node, depth)
+
+    def _render(self, n: _Node, depth: int) -> str:
+        if n.tag == "__text__":
+            return re.sub(r"\s+", " ", n.text or "")
+        if n.tag in SKIP_TAGS or self._excluded(n):
+            return ""
+        t = n.tag
+        if t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            level = int(t[1])
+            text = self._inline(n).strip()
+            if self.heading_style == "setext" and level <= 2:
+                underline = ("=" if level == 1 else "-") * max(len(text), 3)
+                return f"\n\n{text}\n{underline}\n\n"
+            return f"\n\n{'#' * level} {text}\n\n"
+        if t == "p":
+            return f"\n\n{self._inline(n).strip()}\n\n"
+        if t == "br":
+            return "  \n"
+        if t == "hr":
+            return f"\n\n{self.hr}\n\n"
+        if t in ("strong", "b"):
+            inner = self._inline(n).strip()
+            return f"{self.strong}{inner}{self.strong}" if inner else ""
+        if t in ("em", "i"):
+            inner = self._inline(n).strip()
+            return f"{self.em}{inner}{self.em}" if inner else ""
+        if t in ("del", "s", "strike"):
+            inner = self._inline(n).strip()
+            if not self.convert_strikethrough:
+                return inner
+            return f"{self.strike}{inner}{self.strike}" if inner else ""
+        if t == "a":
+            inner = self._inline(n).strip()
+            href = n.attrs.get("href", "")
+            return f"[{inner}]({href})" if href else inner
+        if t == "img":
+            if not self.include_images:
+                return ""
+            return f"![{n.attrs.get('alt', '')}]({n.attrs.get('src', '')})"
+        if t in ("ul", "ol"):
+            return "\n\n" + self._render_list(n, depth) + "\n\n"
+        if t == "blockquote":
+            inner = self._render_children(n, depth).strip()
+            quoted = "\n".join(f"> {line}" for line in inner.splitlines())
+            return f"\n\n{quoted}\n\n"
+        if t == "pre":
+            return self._render_pre(n)
+        if t == "code":
+            return f"`{self._text_of(n)}`"
+        if t == "table" and self.convert_tables:
+            return self._render_table(n)
+        if t in BLOCK_TAGS:
+            inner = self._render_children(n, depth).strip()
+            return f"\n\n{inner}\n\n" if inner else ""
+        return self._render_children(n, depth)
+
+    def _text_of(self, n: _Node) -> str:
+        if n.tag == "__text__":
+            return n.text or ""
+        return "".join(self._text_of(c) for c in n.children)
+
+    def _render_pre(self, n: _Node) -> str:
+        code = n.children[0] if n.children and n.children[0].tag == "code" else n
+        lang = ""
+        for cls in (code.attrs.get("class") or "").split():
+            if cls.startswith("language-"):
+                lang = cls[len("language-") :]
+                break
+        body = self._text_of(code).strip("\n")
+        return f"\n\n{self.fence}{lang}\n{body}\n{self.fence}\n\n"
+
+    def _render_list(self, n: _Node, depth: int) -> str:
+        lines = []
+        idx = 0
+        for c in n.children:
+            if c.tag != "li":
+                continue
+            idx += 1
+            marker = f"{idx}." if n.tag == "ol" else self.bullet
+            sublists = [k for k in c.children if k.tag in ("ul", "ol")]
+            own = [k for k in c.children if k.tag not in ("ul", "ol")]
+            head = _Node("li")
+            head.children = own
+            text = self._render_children(head, depth + 1).strip()
+            lines.append("    " * depth + f"{marker} {text}")
+            for sub in sublists:
+                lines.append(self._render_list(sub, depth + 1))
+        return "\n".join(lines)
+
+    def _render_table(self, n: _Node) -> str:
+        rows: list[list[str]] = []
+
+        def collect(node):
+            for c in node.children:
+                if c.tag == "tr":
+                    cells = [
+                        self._inline(cell).strip()
+                        for cell in c.children
+                        if cell.tag in ("td", "th")
+                    ]
+                    if cells:
+                        rows.append(cells)
+                else:
+                    collect(c)
+
+        collect(n)
+        if not rows:
+            return ""
+        width = max(len(r) for r in rows)
+        out = []
+        for i, r in enumerate(rows):
+            r = r + [""] * (width - len(r))
+            out.append("| " + " | ".join(r) + " |")
+            if i == 0:
+                out.append("|" + "|".join(" --- " for _ in range(width)) + "|")
+        return "\n\n" + "\n".join(out) + "\n\n"
+
+
+def html_to_markdown(html: str, **options) -> str:
+    return HtmlToMarkdown(**options).convert(html)
+
+
+def html_to_markdown_udf(**options):
+    """Arrow-batched pandas UDF for the markdown exporter sink (S10)."""
+    from pyspark.sql import functions as F
+
+    conv = HtmlToMarkdown(**options)
+
+    @F.pandas_udf("string")
+    def to_md(body: pd.Series) -> pd.Series:
+        return pd.Series([conv.convert(b) if b is not None else None for b in body.tolist()])
+
+    return to_md.asNondeterministic()

@@ -1,0 +1,82 @@
+"""F13 PCRE pattern normalization + P13 single-foreign-page parity."""
+
+from __future__ import annotations
+
+from siteone_crawler_spark.config import (
+    CrawlConfig,
+    is_pcre_pattern,
+    normalize_pcre_pattern,
+)
+from siteone_crawler_spark.generator import generate_site, site_to_dfs
+from siteone_crawler_spark.simulator import simulate
+
+
+def test_pcre_pattern_normalize():
+    # utils.rs:14-52 semantics
+    assert is_pcre_pattern("/foo/i")
+    assert is_pcre_pattern("#bar#")
+    assert is_pcre_pattern("~x~is")
+    assert is_pcre_pattern("%y%")
+    assert not is_pcre_pattern("foo")
+    assert not is_pcre_pattern("/unterminated")
+    assert not is_pcre_pattern("/bad/FLAGS")
+    assert normalize_pcre_pattern("/pat/i") == "(?i)pat"
+    assert normalize_pcre_pattern("/pat/") == "pat"
+    assert normalize_pcre_pattern("#a/b#i") == "(?i)a/b"
+    assert normalize_pcre_pattern("plain.*") == "plain.*"
+    # config applies it to include/ignore lists
+    cfg = CrawlConfig(include_regex=("/docs/i",), ignore_regex=("/private//",))
+    assert cfg.include_regex == ("(?i)docs",)
+    assert cfg.ignore_regex == ("private/",)
+
+
+def _foreign_site():
+    site = generate_site(seed=42, n_hosts=2, docs_per_host=12)
+    fu = "https://cdn.foreign.test/page"
+    site.docs.append(
+        {
+            "doc_id": fu,
+            "spans": [
+                {"kind": "a_href", "text": "/sub1", "media_ref": "", "offset": 0},
+                {"kind": "img_src", "text": "/i.png", "media_ref": "", "offset": 1},
+            ],
+        }
+    )
+    site.meta.append(
+        {
+            "doc_id": fu,
+            "status_code": 200,
+            "content_type_header": "text/html",
+            "redirect_location": None,
+            "size": 100,
+            "request_time_ms": 5.0,
+            "headers": {"content-type": "text/html"},
+        }
+    )
+    site.seeds.append((fu, 91))
+    return site, fu
+
+
+def test_single_foreign_page_parity(spark, tmp_path):
+    from siteone_crawler_spark.engine import CrawlEngine
+
+    site, fu = _foreign_site()
+    cfg = CrawlConfig(
+        allowed_domains=("*.example.test", "*.foreign.test"), single_foreign_page=True
+    )
+    sim = simulate(site, cfg)
+    sim_urls = {t[1] for t in sim.crawl_order}
+    # the foreign page itself is crawled, its <a href> suppressed, assets kept
+    assert fu in sim_urls
+    assert "https://cdn.foreign.test/sub1" not in sim_urls
+    assert "https://cdn.foreign.test/i.png" in sim_urls
+
+    docs, meta, robots, seeds = site_to_dfs(spark, site)
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "sfp"), n_buckets=8)
+    tables = eng.run(docs, meta, site.robots, site.seeds)
+    got = [
+        (r["seq"], r["url"], r["source_attr"], r["status_code"])
+        for r in tables["visited"].orderBy("seq").collect()
+    ]
+    exp = [(t[0], t[1], t[4], t[6]) for t in sim.crawl_order]
+    assert got == exp
