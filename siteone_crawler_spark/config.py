@@ -49,6 +49,14 @@ class CrawlConfig:
     remove_query_params: bool = False
     keep_query_params: tuple[str, ...] = ()
     crawl_assets: bool = True  # False ~ --crawl-only-html-files
+    # P14 per-asset-class toggles (--disable-images/-javascript/-styles/
+    # -fonts/-files; html_processor.rs:744-807). All-on by default; span
+    # kinds + extension classes gate which links enqueue.
+    images_enabled: bool = True
+    scripts_enabled: bool = True
+    styles_enabled: bool = True
+    fonts_enabled: bool = True
+    files_enabled: bool = True
     single_page: bool = False
     # north-rule politeness superset (reference politeness is global-only):
     per_host_wave_budget: int = 0  # 0 = unlimited (parity mode)
@@ -69,6 +77,20 @@ class CrawlConfig:
             self,
             "ignore_regex",
             tuple(normalize_pcre_pattern(p) for p in self.ignore_regex),
+        )
+
+    def extract_flags(self):
+        """Bridge to the extraction-layer toggles (operators/extract.py)."""
+        from .operators.extract import ExtractFlags
+
+        return ExtractFlags(
+            single_page=self.single_page,
+            single_foreign_page=self.single_foreign_page,
+            images_enabled=self.images_enabled,
+            fonts_enabled=self.fonts_enabled,
+            files_enabled=self.files_enabled,
+            scripts_enabled=self.scripts_enabled,
+            styles_enabled=self.styles_enabled,
         )
 
     def allowed_domain_regexes(self) -> list[re.Pattern]:
@@ -124,6 +146,57 @@ SPAN_KIND_TO_SOURCE = {
 
 # span kinds that are page-structure, not links
 NON_LINK_KINDS = ("text", "base_href")
+
+# extension-class patterns shared by the engine (Java rlike) and the
+# simulator (Python re.search) — both are unanchored searches and honor
+# inline (?i); end-anchored with an optional query tail
+RE_CLASS_IMAGE = r"(?i)\.(png|gif|jpg|jpeg|ico|webp|avif|tif|bmp|svg)(\?.*)?$"
+RE_CLASS_FONT = r"(?i)\.(eot|ttf|woff2|woff|otf)(\?.*)?$"
+RE_CLASS_JS = r"(?i)\.(js|json)(\?.*)?$"
+RE_CLASS_CSS = r"(?i)\.css(\?.*)?$"
+RE_CLASS_ANY_FILE = r"(?i)\.[a-z0-9]{1,10}(\?.*)?$"
+RE_CLASS_HTML = (
+    r"(?i)\.(htm|html|shtml|php|phtml|ashx|xhtml|asp|aspx|jsp|jspx|do|cfm|cgi|pl)(\?.*)?$"
+)
+
+IMAGE_KINDS = ("img_src", "img_srcset", "input_src", "source_src")
+SCRIPT_KINDS = ("script_src", "inline_script_src", "js_url")
+FILE_KINDS = ("audio_src", "video_src")
+
+
+def span_kind_allowed(cfg, kind: str, text: str) -> bool:
+    """P14: is a link span of `kind`/`text` extracted under cfg's per-class
+    toggles? Shared semantics for the simulator (this function) and the
+    engine (span_gate_exprs builds the same predicate natively)."""
+    t = text or ""
+    if not cfg.images_enabled:
+        if kind in IMAGE_KINDS:
+            return False
+        if kind in ("css_url", "link_href") and re.search(RE_CLASS_IMAGE, t):
+            return False
+    if not cfg.scripts_enabled:
+        if kind in SCRIPT_KINDS:
+            return False
+        if kind == "link_href" and re.search(RE_CLASS_JS, t):
+            return False
+    if not cfg.fonts_enabled and kind in ("css_url", "link_href") and re.search(
+        RE_CLASS_FONT, t
+    ):
+        return False
+    if not cfg.styles_enabled and kind in ("css_url", "link_href") and re.search(
+        RE_CLASS_CSS, t
+    ):
+        return False
+    if not cfg.files_enabled:
+        if kind in FILE_KINDS:
+            return False
+        if (
+            kind == "a_href"
+            and re.search(RE_CLASS_ANY_FILE, t)
+            and not re.search(RE_CLASS_HTML, t)
+        ):
+            return False
+    return True
 
 # asset-class span kinds (gated by --disable-* / crawl_assets)
 ASSET_KINDS = (

@@ -91,6 +91,41 @@ def _kind_to_attr_expr():
     return F.coalesce(mapping[F.col("kind")], F.lit(10))
 
 
+def _span_gate_expr(cfg):
+    """Native twin of config.span_kind_allowed (P14 per-class toggles) —
+    pure Catalyst: kind membership + rlike extension classes."""
+    from .config import (
+        FILE_KINDS,
+        IMAGE_KINDS,
+        RE_CLASS_ANY_FILE,
+        RE_CLASS_CSS,
+        RE_CLASS_FONT,
+        RE_CLASS_HTML,
+        RE_CLASS_IMAGE,
+        RE_CLASS_JS,
+        SCRIPT_KINDS,
+    )
+
+    kind, txt = F.col("s.kind"), F.col("s.text")
+    keep = F.lit(True)
+    if not cfg.images_enabled:
+        keep = keep & ~kind.isin(*IMAGE_KINDS)
+        keep = keep & ~(kind.isin("css_url", "link_href") & txt.rlike(RE_CLASS_IMAGE))
+    if not cfg.scripts_enabled:
+        keep = keep & ~kind.isin(*SCRIPT_KINDS)
+        keep = keep & ~((kind == "link_href") & txt.rlike(RE_CLASS_JS))
+    if not cfg.fonts_enabled:
+        keep = keep & ~(kind.isin("css_url", "link_href") & txt.rlike(RE_CLASS_FONT))
+    if not cfg.styles_enabled:
+        keep = keep & ~(kind.isin("css_url", "link_href") & txt.rlike(RE_CLASS_CSS))
+    if not cfg.files_enabled:
+        keep = keep & ~kind.isin(*FILE_KINDS)
+        keep = keep & ~(
+            (kind == "a_href") & txt.rlike(RE_CLASS_ANY_FILE) & ~txt.rlike(RE_CLASS_HTML)
+        )
+    return keep
+
+
 def _basename_expr(url_col, path_col):
     """Native twin of functions.urls.base_name (reference get_base_name,
     parsed_url.rs:465-481): NULL for root/empty path; trailing slashes
@@ -304,7 +339,9 @@ class CrawlEngine:
         raw_fetch.persist(StorageLevel.MEMORY_AND_DISK)
         self._wave_caches.append(raw_fetch)
 
-        # basename circuit-breaker pre-check -> final status (-6 short-circuit)
+        # basename circuit-breaker pre-check -> final status (-6 short-circuit).
+        # Its tiny collect is the wave's FIRST action — it also materializes
+        # the raw_fetch cache.
         fetched = self._apply_breaker_precheck(raw_fetch)
         _mark("breaker_precheck")
 
@@ -336,11 +373,6 @@ class CrawlEngine:
                 F.col("status") > 0, hdrs.cache_lifetime_expr(F.col("headers"))
             ).alias("cache_lifetime"),
         )
-        self.store.write_table("visited", wave, visited, max_files=self._nfiles(n_pending))
-        _mark("visited_write")
-        metrics.append((wave, "frontier", self.store.count_rows("visited", wave)))
-        self._absorb_events(wave)  # driver-side footer/column read, no job
-
         # ---- extraction: spans of 200-pages + redirect Locations ----------
         pages = fetched.filter((F.col("status") == 200) & F.col("spans").isNotNull())
         base_expr = F.coalesce(
@@ -362,6 +394,7 @@ class CrawlEngine:
         )
         if not cfg.crawl_assets:
             link_spans = link_spans.filter(~F.col("s.kind").isin(*ASSET_KINDS))
+        link_spans = link_spans.filter(_span_gate_expr(cfg))
         if cfg.single_page:
             link_spans = link_spans.filter(F.col("s.kind") != "a_href")
         if cfg.single_foreign_page:
@@ -395,25 +428,42 @@ class CrawlEngine:
             "source_attr", _kind_to_attr_expr()
         )
 
-        events_agg = self._events_agg()
-        accepted, skipped = self._candidate_pipeline(candidates, wave + 1, events_agg)
-        # materialize the shared candidate cache ONCE so the concurrent
-        # branches below read from cache instead of racing to compute it
-        n_cand_all = self._wave_caches[-1].count()
-        _mark("candidates_materialize")
+        # the candidate cache (fetch join -> explode -> resolve/robots UDF —
+        # the wave's heaviest compute) materializes CONCURRENTLY with the
+        # visited write + driver-side event absorption: the breaker flag is
+        # attached only after both finish (it needs this wave's events), so
+        # neither branch waits on the other. Concurrent jobs over the same
+        # cached plan are safe — BlockManager locks per partition.
+        from concurrent.futures import ThreadPoolExecutor
+
+        c = self._resolve_candidates(candidates)
+
+        def _write_visited_and_absorb():
+            self.store.write_table(
+                "visited", wave, visited, max_files=self._nfiles(n_pending)
+            )
+            self._absorb_events(wave)  # driver-side column read, no job
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_vis = ex.submit(_write_visited_and_absorb)
+            f_cnt = ex.submit(c.count)
+            n_cand_all = f_cnt.result()
+            f_vis.result()
+        _mark("visited+candidates_materialize")
+        metrics.append((wave, "frontier", self.store.count_rows("visited", wave)))
         metrics.append((wave, "candidates", n_cand_all))
+
+        accepted, skipped = self._split_candidates(c, wave + 1, self._events_agg())
 
         # skipped-write and frontier-finalize are independent once the cache
         # is hot — run them as concurrent Spark jobs (fills idle cores and
         # removes their latencies from the wave's serial chain)
-        from concurrent.futures import ThreadPoolExecutor
-
         with ThreadPoolExecutor(max_workers=2) as ex:
             f_skip = ex.submit(
                 self.store.write_table, "skipped", wave + 1, skipped,
                 self._nfiles(n_cand_all),
             )
-            f_new = ex.submit(self._finalize_frontier, accepted, wave + 1)
+            f_new = ex.submit(self._finalize_frontier, accepted, wave + 1, n_cand_all)
             f_skip.result()
             n_new = f_new.result()
         _mark("skipped+finalize")
@@ -441,13 +491,19 @@ class CrawlEngine:
 
     # ------------------------------------------------- candidate pipeline
     def _candidate_pipeline(self, cand: DataFrame, wave: int, events_agg: DataFrame | None):
-        """P1-P15 (SURVEY §2.2): returns (accepted, skipped), undeduped.
+        """P1-P15 (SURVEY §2.2): returns (accepted, skipped), undeduped."""
+        c = self._resolve_candidates(cand)
+        return self._split_candidates(c, wave, events_agg)
 
-        All predicates are computed as flag columns on ONE cached DataFrame so
-        the expensive upstream (fetch joins + resolve/robots pandas UDFs) is
-        evaluated exactly once per wave, then split into the accepted and
-        skipped branches. The cache handle is parked on self._wave_caches and
-        released at wave end."""
+    def _resolve_candidates(self, cand: DataFrame) -> DataFrame:
+        """Resolve + event-independent predicate flags on ONE cached
+        DataFrame, so the expensive upstream (fetch joins + resolve/robots
+        pandas UDFs) is evaluated exactly once per wave. The breaker (P4)
+        is NOT part of the cached plan — it depends on THIS wave's events,
+        so keeping it out lets the cache materialize CONCURRENTLY with the
+        visited write + event absorption (engine._run_wave overlaps them).
+        The cache handle is parked on self._wave_caches and released at
+        wave end."""
         cfg = self.config
         # AQE coalesces the (small) upstream join output to ~1 partition; the
         # exploded candidate set is 10-50x bigger and about to hit the Python
@@ -482,28 +538,6 @@ class CrawlEngine:
             host_ok = host_ok | F.col("host").rlike(combined)
         c = c.withColumn("__host_ok", host_ok)
 
-        # P4: basename circuit breaker (enqueue side, silent drop). Events per
-        # basename are bounded (~max_non200), so the aggregate broadcasts and
-        # the predicate stays pure Catalyst.
-        if events_agg is not None:
-            n = cfg.max_non200_per_basename
-            # NULL basename (root URLs) never joins -> evt_seqs NULL -> ok;
-            # enqueue side trips at >= n (crawler.rs:1086)
-            c = (
-                c.join(F.broadcast(events_agg), F.col("__bn") == events_agg.basename, "left")
-                .withColumn(
-                    "__breaker_ok",
-                    F.col("evt_seqs").isNull()
-                    | (
-                        F.size(F.filter("evt_seqs", lambda s: s <= F.col("parent_seq")))
-                        < F.lit(n)
-                    ),
-                )
-                .drop("basename", "evt_seqs")
-            )
-        else:
-            c = c.withColumn("__breaker_ok", F.lit(True))
-
         # P5: robots.txt — already evaluated inside the resolve UDF's Arrow
         # batch (__robots_ok column; */$ wildcards aren't Catalyst-expressible
         # so they ride the same Python exchange as canonicalization)
@@ -529,6 +563,32 @@ class CrawlEngine:
 
         c.persist(StorageLevel.MEMORY_AND_DISK)
         self._wave_caches.append(c)
+        return c
+
+    def _split_candidates(self, c: DataFrame, wave: int, events_agg: DataFrame | None):
+        """Attach the breaker flag (P4 — a broadcast join over the CACHED
+        resolve output) and split into (accepted, skipped). Events per
+        basename are bounded (~max_non200), so the aggregate broadcasts and
+        the predicate stays pure Catalyst."""
+        cfg = self.config
+        if events_agg is not None:
+            n = cfg.max_non200_per_basename
+            # NULL basename (root URLs) never joins -> evt_seqs NULL -> ok;
+            # enqueue side trips at >= n (crawler.rs:1086)
+            c = (
+                c.join(F.broadcast(events_agg), F.col("__bn") == events_agg.basename, "left")
+                .withColumn(
+                    "__breaker_ok",
+                    F.col("evt_seqs").isNull()
+                    | (
+                        F.size(F.filter("evt_seqs", lambda s: s <= F.col("parent_seq")))
+                        < F.lit(n)
+                    ),
+                )
+                .drop("basename", "evt_seqs")
+            )
+        else:
+            c = c.withColumn("__breaker_ok", F.lit(True))
 
         skip_cols = [
             "url", "url_key", "source_uq_id", "source_attr",
@@ -548,7 +608,9 @@ class CrawlEngine:
         return accepted, skipped
 
     # -------------------------------------------------- finalize a wave
-    def _finalize_frontier(self, accepted: DataFrame, wave: int) -> int:
+    def _finalize_frontier(
+        self, accepted: DataFrame, wave: int, size_hint: int | None = None
+    ) -> int:
         cfg = self.config
 
         # accepted: anti-join seen (bloom + exact), then first-wins dedup as
@@ -569,7 +631,7 @@ class CrawlEngine:
         )
         new, n_cand = with_global_seq(
             new, ["parent_seq", "offset"], seq_col="seq", start=self.n_enqueued,
-            cache_registry=self._wave_caches,
+            cache_registry=self._wave_caches, size_hint=size_hint,
         )
         # global enqueue cap (crawler.rs:1268-1306): total-ever < max_visited
         new = new.filter(F.col("seq") < cfg.max_visited_urls)
@@ -659,9 +721,15 @@ class CrawlEngine:
         for fn in os.listdir(d):
             if not fn.endswith(".parquet"):
                 continue
-            t = pq.read_table(
-                os.path.join(d, fn), columns=["url", "path", "seq", "status_code"]
-            )
+            p = os.path.join(d, fn)
+            # status column first: the all-200 common case (steady-state
+            # benches, healthy sites) skips the expensive url/path read —
+            # keeps per-wave driver time flat as the wave grows
+            st = pq.read_table(p, columns=["status_code"])["status_code"]
+            mask = pc.and_(pc.not_equal(st, 200), pc.not_equal(st, -6))
+            if pc.sum(mask).as_py() in (0, None):
+                continue
+            t = pq.read_table(p, columns=["url", "path", "seq", "status_code"])
             mask = pc.and_(
                 pc.not_equal(t["status_code"], 200), pc.not_equal(t["status_code"], -6)
             )

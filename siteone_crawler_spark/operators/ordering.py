@@ -28,27 +28,34 @@ def with_global_seq(
     num_partitions: int | None = None,
     small_threshold: int = 100_000,
     cache_registry: list | None = None,
+    size_hint: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Add `seq_col` = start + 0-based global rank by `order_keys`.
-    Returns (ranked_df, row_count) — the count is a byproduct of the persist
-    and callers need it, so don't pay for it twice.
+    Returns (ranked_df, row_count) — the count is a byproduct of the
+    materialization and callers need it, so don't pay for it twice.
 
     Small inputs (≤ small_threshold rows) take the one-task window path —
     cheaper than a range shuffle when everything fits one partition anyway;
-    big inputs take the scalable two-pass path."""
+    big inputs take the scalable two-pass path. A caller that already knows
+    the input is big passes `size_hint` (any upper-bound estimate >
+    small_threshold) to skip the sizing count() — that removes one full
+    pass over the input; the exact count then falls out of the
+    per-partition count collect."""
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    if cache_registry is not None:
-        cache_registry.append(df)
-    n_rows = df.count()
-    if n_rows <= small_threshold:
-        w = W.orderBy(*order_keys)
-        return (
-            df.withColumn(seq_col, (F.row_number().over(w) - 1 + start).cast("long")),
-            n_rows,
-        )
+    n_rows: int | None = None
+    if size_hint is None or size_hint <= small_threshold:
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(df)
+        n_rows = df.count()
+        if n_rows <= small_threshold:
+            w = W.orderBy(*order_keys)
+            return (
+                df.withColumn(seq_col, (F.row_number().over(w) - 1 + start).cast("long")),
+                n_rows,
+            )
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     sorted_df = (
         df.repartitionByRange(n_part, *order_keys)
@@ -62,6 +69,8 @@ def with_global_seq(
         r["__pid"]: r["cnt"]
         for r in sorted_df.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     }
+    if n_rows is None:
+        n_rows = sum(counts.values())
     offsets: dict[int, int] = {}
     acc = start
     for pid in sorted(counts):

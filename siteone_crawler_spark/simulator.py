@@ -24,6 +24,7 @@ from .config import (
     NON_LINK_KINDS,
     SPAN_KIND_TO_SOURCE,
     CrawlConfig,
+    span_kind_allowed,
 )
 from .functions.robots import compile_rules_map, is_allowed
 from .functions.urls import (
@@ -169,6 +170,9 @@ def simulate(site, config: CrawlConfig) -> SimResult:
                 if kind in NON_LINK_KINDS:
                     continue
                 if not config.crawl_assets and kind in ASSET_KINDS:
+                    continue
+                # P14 per-asset-class toggles
+                if not span_kind_allowed(config, kind, s["text"]):
                     continue
                 # P13: single-page suppresses <a href> extraction only;
                 # single-foreign-page suppresses it on foreign-d2l pages

@@ -57,6 +57,39 @@ def _foreign_site():
     return site, fu
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "cfg_kw",
+    [
+        dict(images_enabled=False),
+        dict(scripts_enabled=False, styles_enabled=False),
+        dict(files_enabled=False, fonts_enabled=False),
+    ],
+)
+def test_asset_class_toggle_parity(spark, tmp_path, cfg_kw):
+    """P14: each --disable-* class drops the same spans in engine and
+    simulator (kind membership + extension-class gates)."""
+    from siteone_crawler_spark.engine import CrawlEngine
+
+    site = generate_site(seed=42, n_hosts=2, docs_per_host=16)
+    cfg = CrawlConfig(allowed_domains=("*.example.test",), **cfg_kw)
+    sim = simulate(site, cfg)
+    assert len(sim.crawl_order) > 5
+    docs, meta, robots, seeds = site_to_dfs(spark, site)
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / ("-".join(sorted(cfg_kw)))), n_buckets=8
+    )
+    tables = eng.run(docs, meta, site.robots, site.seeds)
+    got = [
+        (r["seq"], r["url"], r["source_attr"], r["status_code"])
+        for r in tables["visited"].orderBy("seq").collect()
+    ]
+    exp = [(t[0], t[1], t[4], t[6]) for t in sim.crawl_order]
+    assert got == exp, (len(got), len(exp))
+
+
 def test_single_foreign_page_parity(spark, tmp_path):
     from siteone_crawler_spark.engine import CrawlEngine
 
