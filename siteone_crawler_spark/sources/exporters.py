@@ -70,24 +70,119 @@ def _xml_escape(s: str) -> str:
 
 
 def json_summary(visited: DataFrame, skipped: DataFrame) -> dict:
-    """The JSON-output shape: results sample + stats + analyzer tables."""
-    bs = A.basic_stats(visited).collect()[0].asDict()
+    """Back-compat thin shape (stats + tables); see json_output for the
+    full documented schema."""
+    out = json_output(visited, skipped)
+    return {"stats": out["stats"], "tables": out["tables"]}
+
+
+def _rows(df: DataFrame, limit: int | None = None) -> list[dict]:
+    if limit is not None:
+        df = df.limit(limit)
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def json_output(
+    visited: DataFrame,
+    skipped: DataFrame,
+    config=None,
+    executed_at: str = "",
+    results_limit: int | None = None,
+    rows_limit: int = 1000,
+) -> dict:
+    """S11: the reference's full JSON output shape (docs/JSON-OUTPUT.md §3 —
+    8 top-level keys: crawler, extraColumnsFromAnalysis, options,
+    qualityScores, results, stats, summary, tables; table apl-codes from
+    §5). Aggregations run distributed; only the presentation rows collect."""
+    from dataclasses import asdict
+
+    from ..operators import scoring
+
+    summary_counts, stats = scoring.crawl_summary(visited, skipped)
+    scores = scoring.calculate_scores(summary_counts, stats)
+
+    def cat(c):
+        return {
+            "name": c.name,
+            "code": c.code,
+            "score": c.score,
+            "label": c.label,
+            "weight": c.weight,
+            "deductions": [
+                {"description": d.description, "points": d.points} for d in c.deductions
+            ],
+        }
+
+    results = _rows(
+        visited.select(
+            "url",
+            F.col("status_code").alias("status"),
+            F.col("request_time_ms").alias("elapsedTime"),
+            "size",
+            F.col("content_type_header").alias("contentType"),
+            F.col("cache_type_flags").alias("cacheTypeFlags"),
+            F.col("cache_lifetime").alias("cacheLifetime"),
+        ).orderBy("seq"),
+        results_limit,
+    )
+
+    tables = {
+        "skipped-summary": _rows(A.skipped_summary(skipped), rows_limit),
+        "skipped": _rows(
+            skipped.select("url", "reason", "source_uq_id").orderBy("url"), rows_limit
+        ),
+        "redirects": _rows(A.redirects_list(visited), rows_limit),
+        "404": _rows(A.errors_list(visited, 404), rows_limit),
+        "fastest-urls": _rows(A.top_fastest(visited, 20)),
+        "slowest-urls": _rows(A.top_slowest(visited, 20)),
+        "headers": _rows(A.header_stats(visited), rows_limit),
+        "caching-per-content-type": _rows(
+            A.caching_stats(visited, "content_type"), rows_limit
+        ),
+        "caching-per-domain": _rows(A.caching_stats(visited, "domain"), rows_limit),
+        "caching-per-domain-and-content-type": _rows(
+            A.caching_stats(visited, "domain_content_type"), rows_limit
+        ),
+        "source-domains": _rows(A.source_domain_stats(visited), rows_limit),
+        "content-types": _rows(A.content_type_stats(visited), rows_limit),
+        "content-types-raw": _rows(A.mime_type_stats(visited), rows_limit),
+        "external-urls": _rows(A.external_links(skipped), rows_limit),
+        "best-practices": _rows(A.format_support(visited)),
+        "analysis-stats": _rows(A.wave_stats(visited), rows_limit),
+    }
+
     return {
-        "stats": bs,
-        "tables": {
-            "contentTypes": [r.asDict() for r in A.content_type_stats(visited).collect()],
-            "statusCodes": [r.asDict() for r in A.count_by_status(visited).collect()],
-            "sourceDomains": [r.asDict() for r in A.source_domain_stats(visited).collect()],
-            "skipped": [r.asDict() for r in A.skipped_summary(skipped).collect()],
-            "slowest": [r.asDict() for r in A.top_slowest(visited, 20).collect()],
-            "fastest": [r.asDict() for r in A.top_fastest(visited, 20).collect()],
-            "waves": [r.asDict() for r in A.wave_stats(visited).collect()],
+        "crawler": {
+            "name": "siteone_crawler_spark",
+            "version": "2.0",
+            "executedAt": executed_at,
         },
+        "extraColumnsFromAnalysis": [],
+        "options": asdict(config) if config is not None else {},
+        "qualityScores": {
+            "overall": cat(scores.overall),
+            "categories": [cat(c) for c in scores.categories],
+        },
+        "results": results,
+        "stats": {
+            "totalUrls": stats.total_urls,
+            "avgTimeS": stats.avg_time_s,
+            "p90HtmlS": stats.p90_html_s,
+            "maxTimeS": stats.max_time_s,
+            "countByStatus": {str(k): v for k, v in sorted(stats.count_by_status.items())},
+        },
+        "summary": [
+            {"aplCode": code, "count": n, "status": "warning"}
+            for code, n in sorted(summary_counts.items())
+        ],
+        "tables": tables,
     }
 
 
-def write_json(visited: DataFrame, skipped: DataFrame, path: str) -> dict:
-    out = json_summary(visited, skipped)
+def write_json(
+    visited: DataFrame, skipped: DataFrame, path: str, config=None, executed_at: str = ""
+) -> dict:
+    out = json_output(visited, skipped, config=config, executed_at=executed_at)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, default=str)

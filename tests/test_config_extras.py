@@ -90,6 +90,29 @@ def test_asset_class_toggle_parity(spark, tmp_path, cfg_kw):
     assert got == exp, (len(got), len(exp))
 
 
+def test_sitemap_seed_parity(spark, tmp_path):
+    """S5: seeding a sitemap.xml enqueues its <loc> pages with
+    UrlSource::Sitemap provenance (code 90) — engine == simulator."""
+    from siteone_crawler_spark.engine import CrawlEngine
+
+    site = generate_site(seed=9, n_hosts=1, docs_per_host=14)
+    site.seeds = [("https://h0000.example.test/sitemap.xml", 91)]
+    cfg = CrawlConfig()
+    sim = simulate(site, cfg)
+    attrs = {t[4] for t in sim.crawl_order}
+    assert 90 in attrs and len(sim.crawl_order) > 5
+
+    docs, meta, robots, seeds = site_to_dfs(spark, site)
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "sm"), n_buckets=8)
+    tables = eng.run(docs, meta, site.robots, site.seeds)
+    got = [
+        (r["seq"], r["url"], r["source_attr"], r["status_code"])
+        for r in tables["visited"].orderBy("seq").collect()
+    ]
+    exp = [(t[0], t[1], t[4], t[6]) for t in sim.crawl_order]
+    assert got == exp
+
+
 def test_single_foreign_page_parity(spark, tmp_path):
     from siteone_crawler_spark.engine import CrawlEngine
 

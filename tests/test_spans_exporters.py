@@ -82,12 +82,21 @@ def test_json_exporter(spark, tmp_path, crawl_small):
     from siteone_crawler_spark.sources.exporters import write_json
 
     out = write_json(crawl_small["visited"], crawl_small["skipped"], str(tmp_path / "out.json"))
-    assert out["stats"]["total_urls"] == crawl_small["visited"].count()
-    assert out["tables"]["contentTypes"] and out["tables"]["statusCodes"]
+    # the 8 documented top-level keys (docs/JSON-OUTPUT.md §3)
+    assert set(out) == {
+        "crawler", "extraColumnsFromAnalysis", "options", "qualityScores",
+        "results", "stats", "summary", "tables",
+    }
+    assert out["stats"]["totalUrls"] == crawl_small["visited"].count()
+    assert len(out["results"]) == out["stats"]["totalUrls"]
+    assert out["tables"]["content-types"] and out["tables"]["caching-per-domain"]
+    assert out["tables"]["headers"]
+    assert 0.0 <= out["qualityScores"]["overall"]["score"] <= 10.0
+    assert len(out["qualityScores"]["categories"]) == 5
     import json
 
     reloaded = json.load(open(tmp_path / "out.json"))
-    assert reloaded["stats"]["total_urls"] == out["stats"]["total_urls"]
+    assert reloaded["stats"]["totalUrls"] == out["stats"]["totalUrls"]
 
 
 def test_markdown_spans(spark):
