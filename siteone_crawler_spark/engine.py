@@ -243,10 +243,17 @@ class CrawlEngine:
         steady-state benchmark and by callers resuming from external state."""
         self.store.write_table("frontier", 0, frontier, max_files=32)
         n = self.store.count_rows("frontier", 0)
-        self.seen._keys = (
+        self.store.write_table(
+            "seen",
+            0,
             self.store.read_wave("frontier", 0, FRONTIER_SCHEMA)
             .select("url_key")
-            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets)),
+            max_files=32,
+            partition_by="bucket",
+        )
+        self.seen._keys = self.store.read_all_partitioned(
+            "seen", 0, "url_key string, bucket int", ["url_key", "bucket"]
         )
         self._wave_seq_start[0] = 0
         self.n_enqueued = n
@@ -258,11 +265,19 @@ class CrawlEngine:
         # frontier rows discovered while processing last_wave live at index
         # last_wave+1 — they are already committed state (manifest bumped
         # after finalize), so the seen set must include them
-        keys = (
-            self.store.read_all("frontier", last_wave + 1, FRONTIER_SCHEMA)
-            .select("url_key")
-            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
-        )
+        import os as _os
+
+        if _os.path.isdir(self.store._wave_dir("seen", last_wave + 1)):
+            keys = self.store.read_all_partitioned(
+                "seen", last_wave + 1, "url_key string, bucket int",
+                ["url_key", "bucket"],
+            )
+        else:  # pre-seen-table checkpoints: derive from the frontier log
+            keys = (
+                self.store.read_all("frontier", last_wave + 1, FRONTIER_SCHEMA)
+                .select("url_key")
+                .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+            )
         self.seen._keys = keys
         self.n_enqueued = keys.count()
         self._wave_seq_start[last_wave + 1] = self.n_enqueued - self.store.count_rows(
@@ -657,11 +672,22 @@ class CrawlEngine:
         self.store.write_table("frontier", wave, frontier_new, max_files=self._nfiles(n_cand))
         n_new = self.store.count_rows("frontier", wave)  # footer read, no job
 
-        # parquet-backed seen keys: cut lineage, one scan over committed waves
-        self.seen._keys = (
-            self.store.read_all("frontier", wave, FRONTIER_SCHEMA)
+        # seen-set table: (url_key, bucket) PARTITIONED BY bucket on disk —
+        # the exact anti-join side partition-prunes and never recomputes the
+        # bucket hash; derived from the just-written frontier parquet so its
+        # lineage is one file scan
+        self.store.write_table(
+            "seen",
+            wave,
+            self.store.read_wave("frontier", wave, FRONTIER_SCHEMA)
             .select("url_key")
-            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets)),
+            max_files=self._nfiles(n_cand),
+            partition_by="bucket",
+        )
+        # parquet-backed seen keys: cut lineage, one scan over committed waves
+        self.seen._keys = self.store.read_all_partitioned(
+            "seen", wave, "url_key string, bucket int", ["url_key", "bucket"]
         )
         self._wave_seq_start[wave] = self.n_enqueued
         self.n_enqueued += n_new

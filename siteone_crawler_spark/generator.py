@@ -255,6 +255,11 @@ def generate_site(
             # dangling link (no doc -> fetch failure -1)
             if j % 9 == 4:
                 add("a_href", f"/void/nothing{j}", f"https://{host}/void/nothing{j}")
+            # transport-error family (R4: -2 timeout, -3 reset, -4 send —
+            # visited_url.rs:12-17); docs exist with negative meta status
+            if j % 8 == 5:
+                eu = f"https://{host}/err/e{j}"
+                add("a_href", f"/err/e{j}", eu)
             # breaker family links spread across pages of host 0
             if with_breaker_family and host == breaker_host and j % 3 == 2:
                 for b in range(2):
@@ -341,6 +346,22 @@ def generate_site(
                 "request_time_ms": _latency(sm_url, seed),
             }
         )
+
+        # transport-error docs: negative status codes, never parsed
+        for j in range(n):
+            if j % 8 == 5:
+                eu = f"https://{host}/err/e{j}"
+                site.docs.append({"doc_id": eu, "spans": []})
+                site.meta.append(
+                    {
+                        "doc_id": eu,
+                        "status_code": (-2, -3, -4)[(j // 8) % 3],
+                        "content_type_header": None,
+                        "redirect_location": None,
+                        "size": 0,
+                        "request_time_ms": 5000.0,
+                    }
+                )
 
         # robots-allowed /private/open page
         open_url = f"https://{host}/private/open/ok"

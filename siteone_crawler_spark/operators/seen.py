@@ -189,13 +189,21 @@ class SeenSet:
         cand = cand.withColumn("__maybe", maybe_seen(F.col(key_col), F.col("__bucket")))
         definite_new = cand.filter(~F.col("__maybe"))
         maybe = cand.filter(F.col("__maybe"))
-        # exact anti-join only for the maybe slice, only against touched buckets
+        # exact anti-join only for the maybe slice
         seen_pruned = self.keys.withColumnRenamed("url_key", key_col)
-        survivors = maybe.join(
-            seen_pruned.hint("broadcast") if self._small(n_seen) else seen_pruned,
-            on=[key_col],
-            how="left_anti",
-        )
+        if self._small(n_seen):
+            survivors = maybe.join(
+                F.broadcast(seen_pruned.select(key_col)), on=[key_col], how="left_anti"
+            )
+        else:
+            # co-key on (bucket, key): the seen table is bucket-partitioned
+            # on disk, so the scan prunes to touched buckets and both sides
+            # hash identically in the shuffle
+            survivors = maybe.join(
+                seen_pruned.withColumnRenamed("bucket", "__bucket"),
+                on=[key_col, "__bucket"],
+                how="left_anti",
+            )
         return definite_new.unionByName(survivors).drop("__bucket", "__maybe")
 
     # keys above which the exact side must NOT be broadcast: ~32-char md5

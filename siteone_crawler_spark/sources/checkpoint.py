@@ -27,7 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("frontier", "visited", "skipped", "events", "metrics", "blooms")
+TABLES = ("frontier", "seen", "visited", "skipped", "events", "metrics", "blooms")
 
 
 class CheckpointStore:
@@ -62,12 +62,24 @@ class CheckpointStore:
     def _wave_dir(self, table: str, wave: int) -> str:
         return os.path.join(self.root, table, f"wave={wave}")
 
-    def write_table(self, table: str, wave: int, df: DataFrame, max_files: int = 1) -> None:
+    def write_table(
+        self,
+        table: str,
+        wave: int,
+        df: DataFrame,
+        max_files: int = 1,
+        partition_by: str | None = None,
+    ) -> None:
         """Per-wave state tables are small relative to the docs corpus; cap
         output files so later multi-wave scans don't fragment into hundreds
         of tiny-file partitions. At cluster scale `max_files` would instead be
-        sized to keep ~128MB per file."""
-        df.coalesce(max_files).write.mode("overwrite").parquet(self._wave_dir(table, wave))
+        sized to keep ~128MB per file. `partition_by` lays the wave out as
+        hive-style subdirectories (the seen table partitions by bucket so
+        the exact anti-join can partition-prune)."""
+        w = df.coalesce(max_files).write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(self._wave_dir(table, wave))
 
     def read_wave(self, table: str, wave: int, schema: str | None = None) -> DataFrame:
         d = self._wave_dir(table, wave)
@@ -79,16 +91,17 @@ class CheckpointStore:
 
     def count_rows(self, table: str, wave: int) -> int:
         """Row count from parquet footers (driver-side metadata read — no
-        Spark job). The per-wave state tables are few files by construction."""
+        Spark job). Recursive: partitioned tables nest bucket=* subdirs."""
         import pyarrow.parquet as pq
 
         d = self._wave_dir(table, wave)
         if not os.path.isdir(d):
             return 0
         total = 0
-        for f in os.listdir(d):
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         return total
 
     def min_stat(self, table: str, wave: int, column: str):
@@ -134,6 +147,26 @@ class CheckpointStore:
                         (wave, t, fn, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
                     )
         return rows
+
+    def read_all_partitioned(
+        self, table: str, upto_wave: int, schema: str, columns: list[str]
+    ) -> DataFrame:
+        """read_all for hive-partitioned tables (e.g. seen's bucket=K dirs):
+        a shared basePath makes Spark treat wave and bucket as partition
+        columns consistently across the committed wave roots; `columns`
+        projects away the wave partition column."""
+        dirs = [
+            self._wave_dir(table, w)
+            for w in range(upto_wave + 1)
+            if os.path.isdir(self._wave_dir(table, w))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("basePath", os.path.join(self.root, table))
+            .parquet(*dirs)
+            .select(*columns)
+        )
 
     def read_all(self, table: str, upto_wave: int, schema: str | None = None) -> DataFrame:
         """Union of committed waves 0..upto_wave (single multi-path parquet

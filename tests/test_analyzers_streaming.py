@@ -1,6 +1,7 @@
 """Analyzer aggregations over engine output + streaming telemetry."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from siteone_crawler_spark.config import CrawlConfig
 from siteone_crawler_spark.generator import generate_site, site_to_dfs
@@ -86,6 +87,60 @@ def test_streaming_telemetry(spark, crawl):
     run_to_memory(status_mix(stream), name="t_telemetry")
     got = spark.sql("SELECT sum(n) AS total FROM t_telemetry").collect()[0]["total"]
     assert got == tables["visited"].count()
+
+
+def test_streaming_windowed_and_stateful(spark, crawl):
+    """Watermarked event-time windows + applyInPandasWithState custom
+    stateful operator over the visited stream."""
+    from siteone_crawler_spark.streaming import run_to_memory, visited_stream
+    from siteone_crawler_spark.streaming.telemetry import (
+        fetch_time_windows,
+        host_budget_state_stream,
+    )
+
+    site, cfg, tables, ckpt = crawl
+    n_visited = tables["visited"].count()
+
+    stream = visited_stream(spark, ckpt)
+    win = fetch_time_windows(stream)
+    q = (
+        win.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_windows")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # append mode only emits windows the watermark has closed; a second
+    # batch would flush the tail — assert the aggregate structure instead
+    rows = spark.sql("SELECT * FROM t_windows").collect()
+    assert all(r["n_fetches"] >= 1 for r in rows)
+
+    state = host_budget_state_stream(stream, budget=5)
+    q2 = (
+        state.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = {
+        r["host"]: (r["n_total"], r["over_budget"])
+        for r in spark.sql(
+            "SELECT host, max(n_total) AS n_total, max(over_budget) AS over_budget"
+            " FROM t_state GROUP BY host"
+        ).collect()
+    }
+    per_host = {
+        r["host"]: r["n"]
+        for r in tables["visited"].groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert {h: v[0] for h, v in got.items()} == per_host
+    for h, n in per_host.items():
+        assert got[h][1] == (n > 5)
 
 
 def test_politeness_budget(spark, tmp_path):
