@@ -587,6 +587,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_srp_topk"] = q_knn_srp
 
+    def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF ANN: probe the 2 nearest of 8 inverted lists (deterministic
+        pivot centroids = vectors of the 8 smallest ids), exact cosine
+        within. operators/similarity.ivf_topk."""
+        from siteone_crawler_spark.operators.similarity import ivf_topk
+
+        _register(spark, sf_dir)
+        emb = spark.table("embeddings")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=2)
+
+    q["knn_ivf_topk"] = q_knn_ivf
+
     # ---- operator-routed analyzer queries (certify operators/*.py, not SQL) --
     def _dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         from siteone_crawler_spark.sources.docs import derive_visited_from_documents
@@ -1195,6 +1208,36 @@ def oracle_sql() -> dict[str, str]:
           round(list_cosine_similarity(cast(e.embedding AS double[]),
                                        cast(q.qv AS double[])), 6) AS cos
         FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+    # IVF ANN: the oracle REPLICATES the index — pivot centroids = vectors
+    # of the 8 smallest ids, assignment = argmax cosine (ties -> larger
+    # centroid id, matching Spark's array_max-on-struct), probe = the 2
+    # centroids nearest the query, exact cosine top-k within probed lists.
+    o["knn_ivf_topk"] = """
+        WITH cents AS (
+          SELECT vec_id AS cid, cast(embedding AS double[]) AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        assign AS (
+          SELECT e.vec_id, c.cid,
+            round(list_cosine_similarity(cast(e.embedding AS double[]), c.cv), 9) AS ccos
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        best AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS rn
+            FROM assign) t WHERE rn = 1
+        ),
+        qprobe AS (
+          SELECT cid FROM assign WHERE vec_id = 0 ORDER BY ccos DESC, cid DESC LIMIT 2
+        ),
+        q AS (SELECT cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+          round(list_cosine_similarity(cast(e.embedding AS double[]), q.qv), 6) AS cos
+        FROM embeddings e
+        JOIN best b USING (vec_id) JOIN qprobe p ON b.cid = p.cid, q
         ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
     # SimHash near-dup pairs: full SQL twin — md5-low-64 token hashes,

@@ -191,10 +191,18 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, max_bucket: int | None = 10_000, **kw
+) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 16-bit sub-bands (any exact
     sub-band match is a candidate — standard Hamming-LSH), then verify the
-    full Hamming distance. Avoids the O(n^2) cross join."""
+    full Hamming distance. Avoids the O(n^2) cross join globally; the
+    within-bucket join is still quadratic, so `max_bucket` drops buckets
+    with more members than the cap before pairing (a 10^10-doc corpus puts
+    ~150k docs in an average 16-bit bucket — pairing those is 10^10 rows
+    per bucket). An over-full bucket means that sub-band is uninformative
+    for its members; at scale, re-block them with more/permuted bands or
+    route the mega-cluster to exact dedup. Pass None to disable the guard."""
     sh = simhash64(docs, **kw)
     blocks = sh.select(
         "doc_id",
@@ -211,6 +219,15 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
             ])
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    if max_bucket is not None:
+        # both sides shuffle on (blk, val); AQE reuses the exchange
+        keep = (
+            blocks.groupBy("blk", "val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("blk", "val")
+        )
+        blocks = blocks.join(keep, ["blk", "val"])
     a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "val")
     b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "val")
     cand = (

@@ -274,6 +274,11 @@ def find_html_links(
     return ordered
 
 
+def _source_path(url: str) -> str:
+    c = canonicalize(url) if url else None
+    return c["path"] if c and c["valid"] else ""
+
+
 def _homepage(url: str) -> str:
     c = canonicalize(url)
     if not c["valid"]:
@@ -360,6 +365,78 @@ def find_js_links(js: str) -> list[tuple[str, str]]:
             seen.add(key)
             out.append(("js_url", u))
     return out
+
+
+# --- framework extractors (F7) ----------------------------------------------
+# Astro (astro_processor.rs:21-31, 146-168), Next.js manifest
+# (nextjs_processor.rs:17-97), Svelte (svelte_processor.rs:16, 48-58).
+
+RE_ASTRO_URLS = re.compile(r"""(?i)(component-url|renderer-url)=["']([^"']+)["']""")
+# reference RE_MANIFEST_JS has no quantifier on the char class — it really
+# matches a single character before ".js" (nextjs_processor.rs:17); mirrored
+RE_NEXTJS_MANIFEST_JS = re.compile(r"""(?is)["']([a-z0-9/._\-\[\]]\.js)["']""")
+RE_NEXT_QUERY_PARAMS = re.compile(
+    r"(?i)((_next|chunks)/[a-z0-9/()\[\]._@%^{}-]+\.[a-z0-9]{1,5})\?[a-z0-9_&=.-]+"
+)
+RE_DPL_QUERY = re.compile(r"""(?i)\?dpl=[^"' ]+""")
+RE_SVELTE_TAG = re.compile(r"(?i)<svelte:[^>]+>\s*")
+RE_MODULE_SCRIPT_SRC_1 = re.compile(
+    r"""(?im)<script[^>]+type="module"[^>]+src="([^"]+)"[^>]*>\s*</script>"""
+)
+RE_MODULE_SCRIPT_SRC_2 = re.compile(
+    r"""(?im)<script[^>]+src="([^"]+)"[^>]+type="module"[^>]*>\s*</script>"""
+)
+
+
+def find_astro_links(content: str) -> list[tuple[str, str]]:
+    """Astro island component-url/renderer-url extraction, gated on a
+    case-sensitive 'astro' substring (astro_processor.rs:139-167). Kind is
+    js_url (UrlSource::JsUrl)."""
+    if "astro" not in content:
+        return []
+    return [("js_url", m.group(2)) for m in RE_ASTRO_URLS.finditer(content)]
+
+
+def find_nextjs_manifest_links(content: str, source_path: str) -> list[tuple[str, str]]:
+    """Next.js build-manifest chunk extraction: only runs when the SOURCE
+    path contains '_next/' and 'manifest'; each match is prefixed with the
+    path up to and including '/_next/' (nextjs_processor.rs:64-97)."""
+    path = source_path or ""
+    if "_next/" not in path or "manifest" not in path.lower():
+        return []
+    pos = path.find("/_next/")
+    if pos < 0:
+        return []
+    base = path[: pos + 7]
+    return [("js_url", base + m.group(1)) for m in RE_NEXTJS_MANIFEST_JS.finditer(content)]
+
+
+def nextjs_pre_parse(content: str) -> str:
+    """NextJsProcessor.apply_content_changes_before_url_parsing: strip query
+    params from _next/chunks static-asset refs and ?dpl= deploy ids
+    (nextjs_processor.rs:99-113) so extracted URLs dedup cleanly."""
+    if "_next" not in content.lower():
+        return content
+    content = RE_NEXT_QUERY_PARAMS.sub(r"\1", content)
+    return RE_DPL_QUERY.sub("", content)
+
+
+def strip_svelte_tags(content: str) -> str:
+    """SvelteProcessor offline transform: remove <svelte:*> tags
+    (svelte_processor.rs:48-58)."""
+    if "<svelte:" not in content:
+        return content
+    return RE_SVELTE_TAG.sub("", content)
+
+
+def astro_offline_scripts(content: str) -> str:
+    """AstroProcessor offline transform without a content loader: rewrite
+    <script type="module" src=X></script> to <script src=X></script> for
+    file:// compatibility (astro_processor.rs:180-205)."""
+    if "astro" not in content:
+        return content
+    content = RE_MODULE_SCRIPT_SRC_1.sub(r'<script src="\1"></script>', content)
+    return RE_MODULE_SCRIPT_SRC_2.sub(r'<script src="\1"></script>', content)
 
 
 # --- XML sitemap source (S5) ------------------------------------------------
@@ -464,9 +541,14 @@ def extract_spans(
     ContentProcessorManager, content_processor/manager.rs) and emit spans
     in enqueue order. HTML docs additionally yield a leading base_href span
     when <base href> is present (crawler.rs:963-987) and, optionally, one
-    text span with the tag-stripped page text."""
+    text span with the tag-stripped page text. Processor order matches the
+    reference registry — Astro, Html, JavaScript, Css, Xml, NextJs, Svelte
+    (manager.rs:801-807); NextJs' pre-parse query-param strip runs first
+    (the manager applies content changes before any find_urls)."""
     ct = (content_type or "").lower()
     spans: list[dict] = []
+    if body and ("html" in ct or "javascript" in ct or ct.endswith("/js") or "css" in ct):
+        body = nextjs_pre_parse(body)
 
     def push(kind: str, text: str, media_ref: str = "") -> None:
         spans.append(
@@ -481,7 +563,9 @@ def extract_spans(
             push("text", visible_text(body))
         src = canonicalize(source_url) if source_url else None
         init_d2l = canonicalize(f"https://{initial_host}/")["d2l"] if initial_host else None
-        links = find_html_links(
+        # AstroProcessor registers before HtmlProcessor (manager.rs:801-802)
+        links = find_astro_links(body)
+        links += find_html_links(
             body,
             flags,
             source_d2l=src["d2l"] if src and src["valid"] else None,
@@ -494,13 +578,19 @@ def extract_spans(
         # its finds enqueue AFTER the HtmlProcessor's — duplicate keys are
         # first-wins-rejected downstream at the queue, so appending is exact
         links += find_css_links(body, flags)
+        links += find_nextjs_manifest_links(body, _source_path(source_url))
         for kind, text in links:
             push(kind, text, text)
     elif "css" in ct:
-        for kind, text in find_css_links(body, flags):
+        links = find_css_links(body, flags)
+        links += find_nextjs_manifest_links(body, _source_path(source_url))
+        for kind, text in links:
             push(kind, text, text)
     elif "javascript" in ct or ct.endswith("/js"):
-        for kind, text in find_js_links(body):
+        links = find_astro_links(body)
+        links += find_js_links(body)
+        links += find_nextjs_manifest_links(body, _source_path(source_url))
+        for kind, text in links:
             push(kind, text, text)
     elif "xml" in ct:
         for kind, text in find_sitemap_locs(body):

@@ -123,9 +123,15 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP blocking: candidates share a
-    bucket (equi-join, no O(n^2) cross join), verified by exact cosine."""
+    bucket (equi-join, no O(n^2) cross join), verified by exact cosine.
+    The within-bucket join is quadratic, so `max_bucket` drops buckets with
+    more members than the cap (2^8 buckets at 10^10 rows averages ~4*10^7
+    rows/bucket — at that scale raise n_planes with log2(n) and cap the
+    stragglers; an over-full bucket means the projection is uninformative
+    for its members). Pass None to disable the guard."""
     dim = embeddings.select(F.size(vec_col)).first()[0]
     planes = hyperplane_signs(n_planes, dim)
     b = embeddings.select(
@@ -133,6 +139,14 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         srp_bucket(F.col(vec_col), planes).alias("bkt"),
     )
+    if max_bucket is not None:
+        keep = (
+            b.groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("bkt")
+        )
+        b = b.join(keep, "bkt")
     a = b.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), "bkt")
     c = b.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), "bkt")
     pairs = a.join(c, "bkt").filter(F.col("id_a") < F.col("id_b"))
@@ -141,3 +155,114 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(cosine_similarity(va, vb), 6).alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def _cos_to_lit(cast_vec, centroid: list[float]):
+    return cosine_similarity(cast_vec, F.array(*[F.lit(float(x)) for x in centroid]))
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Assign each row to its nearest centroid by cosine (ties -> larger
+    centroid id). Centroids are broadcast as literal arrays, so assignment
+    is pure codegen'd expressions — no UDF, no shuffle. At scale the
+    resulting `ivf_bucket` is a stored, partition-pruned column: probing
+    nprobe lists reads nprobe/k of the data."""
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(_cos_to_lit(cast_vec, c), 9).alias("cos"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return embeddings.withColumn("ivf_bucket", F.array_max(scored)["cid"])
+
+
+def pivot_centroids(
+    embeddings: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the vectors of the k smallest ids.
+    Real IVF trains centroids offline (k-means over a sample); the index
+    contract — assign + probe — is identical whatever produced them."""
+    rows = embeddings.orderBy(F.col(id_col).asc()).limit(k).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of the coarse quantizer: assign (codegen exprs) ->
+    per-bucket elementwise mean (posexplode + groupBy(bucket, pos).avg — one
+    shuffle of n*dim skinny rows per iteration) -> collect k*dim floats to
+    the driver. Empty clusters keep their previous centroid."""
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        means = (
+            assigned.select(
+                "ivf_bucket", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("ivf_bucket", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("ivf_bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["ivf_bucket"]] = [s["m"] for s in r["ms"]]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the `nprobe` inverted lists whose
+    centroids are closest to the query (chosen driver-side — k centroids is
+    tiny), exact cosine within them. The scale path alongside srp_topk:
+    centroid lists partition the corpus, so a stored `ivf_bucket` column
+    plus partition pruning turns the scan into nprobe/k of the data."""
+    if centroids is None:
+        centroids = pivot_centroids(embeddings, n_centroids, id_col, vec_col)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-round(cos(query_vec, centroids[i]), 9), -i)
+    )
+    probe = ranked[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cand = ivf_assign(embeddings, centroids, id_col, vec_col).filter(
+        F.col("ivf_bucket").isin(probe)
+    )
+    scored = cand.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_similarity(cast_vec, q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)

@@ -325,6 +325,110 @@ def convert_url_to_relative(
     return sanitize_file_path(pre, keep_fragment)
 
 
+# attribute-value rewriting (offline_website_exporter.rs via RE_HREF_SRC /
+# RE_SRCSET_ATTR, html_processor.rs:97-109)
+RE_HREF_SRC_ATTR = re.compile(
+    r"""(?is)(<[a-z0-9]{1,10}[^>]*\s+)(href|src|component-url)(\s*=\s*)(['"])([^'"]+)(['"])"""
+)
+RE_SRCSET_ATTR = re.compile(
+    r"""(?is)(<[a-z0-9]{1,10}[^>]*\s+)(imagesrcset|srcset)(\s*=\s*)(['"])([^'"]+)(['"])"""
+)
+RE_CSS_URL_ATTR = re.compile(r"""(?i)url\(\s*(['"]?)([^'")\s]+)\1\s*\)""")
+
+
+def rewrite_content_for_offline(
+    body: str,
+    page_url: str,
+    initial_url: str,
+    content_type: str = "text/html",
+    **convert_kw,
+) -> str:
+    """Rewrite href/src/srcset/url() values in a page body to the relative
+    offline file paths (S9's content transform): every URL goes through
+    convert_url_to_relative with base = the page's own URL."""
+
+    def conv(u: str) -> str:
+        u = u.strip()
+        if not u or u.startswith(("#", "data:")):
+            return u
+        out = convert_url_to_relative(initial_url, page_url, u, **convert_kw)
+        return out or u
+
+    def attr_sub(m: re.Match) -> str:
+        return f"{m.group(1)}{m.group(2)}{m.group(3)}{m.group(4)}{conv(m.group(5))}{m.group(6)}"
+
+    def srcset_sub(m: re.Match) -> str:
+        parts = []
+        for source in m.group(5).split(", "):
+            toks = source.strip().split()
+            if toks:
+                toks[0] = conv(toks[0])
+            parts.append(" ".join(toks))
+        return f"{m.group(1)}{m.group(2)}{m.group(3)}{m.group(4)}{', '.join(parts)}{m.group(6)}"
+
+    def css_sub(m: re.Match) -> str:
+        q = m.group(1)
+        return f"url({q}{conv(m.group(2))}{q})"
+
+    ct = (content_type or "").lower()
+    if "css" in ct:
+        return RE_CSS_URL_ATTR.sub(css_sub, body)
+    # framework offline transforms run before URL rewriting, like the
+    # reference's apply_content_changes_for_offline_version pass
+    # (astro_processor.rs:180-205, svelte_processor.rs:48-58)
+    from ..operators.extract import astro_offline_scripts, strip_svelte_tags
+
+    out = strip_svelte_tags(astro_offline_scripts(body))
+    out = RE_SRCSET_ATTR.sub(srcset_sub, out)
+    out = RE_HREF_SRC_ATTR.sub(attr_sub, out)
+    return RE_CSS_URL_ATTR.sub(css_sub, out)
+
+
+def export_offline_site(
+    html_docs,
+    out_dir: str,
+    initial_url: str,
+    preserve_url_structure: bool = False,
+) -> int:
+    """S9: write the offline website tree — one file per doc at its
+    converted path, with all in-page URLs rewritten relative. Rewriting and
+    writing run EXECUTOR-side via mapInPandas (each partition writes its own
+    files — the Spark-idiomatic shape for a shared filesystem); only the
+    per-file manifest rows return to the driver. Returns files written."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    os.makedirs(out_dir, exist_ok=True)
+    kw = dict(
+        preserve_url_structure=preserve_url_structure,
+        is_external_domain_allowed_for_crawling=lambda _h: True,
+    )
+
+    def write_partition(pdfs):
+        for pdf in pdfs:
+            paths = []
+            for url, ct, body in zip(pdf["doc_id"], pdf["content_type"], pdf["body"]):
+                rel = convert_url_to_relative(initial_url, initial_url, url, **kw)
+                if rel.startswith(("http://", "https://", "#", "mailto:")):
+                    paths.append(None)
+                    continue
+                rel = rel.split("#", 1)[0]
+                target = os.path.join(out_dir, rel)
+                os.makedirs(os.path.dirname(target) or out_dir, exist_ok=True)
+                with open(target, "w", encoding="utf-8") as f:
+                    f.write(
+                        rewrite_content_for_offline(
+                            body or "", url, initial_url, ct or "text/html", **kw
+                        )
+                    )
+                paths.append(rel)
+            yield pd.DataFrame({"url": pdf["doc_id"], "file_path": paths})
+
+    manifest = html_docs.mapInPandas(write_partition, "url string, file_path string")
+    return manifest.filter("file_path IS NOT NULL").count()
+
+
 def offline_paths(visited, initial_url: str, preserve_url_structure: bool = False):
     """S9 storage layout: one on-disk file path per visited URL, relative to
     the export root (base = the initial URL, like the exporter's directory

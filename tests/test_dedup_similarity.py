@@ -67,6 +67,36 @@ def test_simhash(docs):
     assert pairs.get((4, 5)) == 0
 
 
+def test_bucket_count_guard(spark, docs):
+    """max_bucket drops over-full LSH buckets (the within-bucket quadratic
+    guard) without touching pairs from small buckets."""
+    from siteone_crawler_spark.operators.dedup import simhash_near_pairs
+    from siteone_crawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    # mega-cluster: 12 identical docs share every sub-band bucket
+    mega = spark.createDataFrame(
+        [(100 + i, "same same same tokens everywhere") for i in range(12)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(mega)
+    uncapped = simhash_near_pairs(both, max_hamming=16, max_bucket=None).collect()
+    capped = simhash_near_pairs(both, max_hamming=16, max_bucket=10).collect()
+    mega_pairs = {(r["doc_a"], r["doc_b"]) for r in capped if r["doc_a"] >= 100}
+    assert mega_pairs == set()  # the 12-doc cluster's buckets exceed the cap
+    small = {(r["doc_a"], r["doc_b"]) for r in capped if r["doc_b"] < 100}
+    small_unc = {(r["doc_a"], r["doc_b"]) for r in uncapped if r["doc_b"] < 100}
+    assert small == small_unc and (1, 2) in small
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 9)] + [(9, [0.0, 1.0, 0.0, 0.0]), (10, [0.001, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9, n_planes=4, max_bucket=4).collect()
+    }
+    assert all(a >= 9 for a, _ in capped)  # 8-member bucket dropped
+    assert (9, 10) in capped  # 2-member bucket kept
+
+
 def test_cosine_topk(spark):
     from siteone_crawler_spark.operators.similarity import cosine_topk, srp_topk
 
@@ -86,6 +116,42 @@ def test_cosine_topk(spark):
     assert all(r["cos"] <= top[0]["cos"] + 1e-9 for r in approx)
     overlap = {r["vec_id"] for r in approx} & {r["vec_id"] for r in top}
     assert len(overlap) >= 1
+
+
+def test_ivf_topk(spark):
+    from siteone_crawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_refine,
+        pivot_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in qrow["embedding"]]
+
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+    # the query vector's own list is always probed -> top-1 is exact
+    assert approx[0]["vec_id"] == 0 and abs(approx[0]["cos"] - 1.0) < 1e-6
+    assert all(r["cos"] <= exact[0]["cos"] + 1e-9 for r in approx)
+    got = [r["cos"] for r in approx]
+    assert got == sorted(got, reverse=True)
+
+    # full probe (nprobe = k centroids) degenerates to the exact scan
+    cents = pivot_centroids(emb, k=4)
+    full = ivf_topk(emb, q, k=5, nprobe=4, centroids=cents).collect()
+    assert [(r["vec_id"], r["cos"]) for r in full] == [
+        (r["vec_id"], r["cos"]) for r in exact
+    ]
+
+    # every row lands in exactly one bucket; refinement keeps k centroids
+    assigned = ivf_assign(emb, cents)
+    n_bkts = assigned.select("ivf_bucket").distinct().count()
+    assert 1 <= n_bkts <= 4 and assigned.count() == emb.count()
+    refined = kmeans_refine(emb.limit(50), cents, iters=2)
+    assert len(refined) == 4 and all(len(c) == len(cents[0]) for c in refined)
 
 
 def test_embedding_near_dup(spark):

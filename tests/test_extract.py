@@ -207,6 +207,66 @@ def _expected_links(spans):
     return out
 
 
+def test_framework_extractors():
+    """F7 vectors lifted from the reference's own unit tests
+    (astro_processor.rs:252-262, nextjs_processor.rs find_urls gates,
+    svelte_processor.rs:85-92)."""
+    from siteone_crawler_spark.operators.extract import (
+        astro_offline_scripts,
+        extract_spans,
+        find_astro_links,
+        find_nextjs_manifest_links,
+        nextjs_pre_parse,
+        strip_svelte_tags,
+    )
+
+    astro_html = (
+        '<astro-island component-url="/_astro/TestSlider.fb32dc5a.js" '
+        'component-export="default" renderer-url="/_astro/client.c4e17359.js">'
+    )
+    assert find_astro_links(astro_html) == [
+        ("js_url", "/_astro/TestSlider.fb32dc5a.js"),
+        ("js_url", "/_astro/client.c4e17359.js"),
+    ]
+    # content gate is a case-sensitive 'astro' substring
+    assert find_astro_links('<div component-url="/x.js">ASTRO</div>') == []
+    assert find_astro_links("<html><body>Regular page</body></html>") == []
+
+    # Astro finds lead the HTML processor's in span order (manager.rs:801-802)
+    spans = extract_spans(
+        astro_html + '<a href="/about">a</a>', "text/html", "https://ex.test/p"
+    )
+    kinds = [(s["kind"], s["text"]) for s in spans]
+    assert kinds.index(("js_url", "/_astro/TestSlider.fb32dc5a.js")) < kinds.index(
+        ("a_href", "/about")
+    )
+
+    # Next.js manifest: source-path gated; base dir = path through '/_next/';
+    # the reference regex matches a SINGLE char before .js (mirrored quirk)
+    manifest = 'self.__BUILD_MANIFEST={a:"1.js",b:"2.js"}'
+    assert find_nextjs_manifest_links(manifest, "/_next/static/build-manifest.js") == [
+        ("js_url", "/_next/1.js"),
+        ("js_url", "/_next/2.js"),
+    ]
+    assert find_nextjs_manifest_links(manifest, "/_next/static/chunks/app.js") == []
+    assert find_nextjs_manifest_links(manifest, "/static/manifest.js") == []
+
+    # pre-parse strips static-asset query params and ?dpl= ids
+    assert (
+        nextjs_pre_parse('"/_next/static/chunks/main.js?v=123&x=1"')
+        == '"/_next/static/chunks/main.js"'
+    )
+    assert nextjs_pre_parse('"/_next/a.css?dpl=dpl_abc123" x') == '"/_next/a.css" x'
+
+    # Svelte offline transform removes <svelte:*> tags
+    sv = "<html><head><svelte:head></svelte:head></head><body>test</body></html>"
+    assert "<svelte:" not in strip_svelte_tags(sv)
+    # Astro offline transform demotes module scripts for file:// use
+    mod = '<html><!-- astro --><script type="module" src="/_astro/app.js"></script></html>'
+    out = astro_offline_scripts(mod)
+    assert '<script src="/_astro/app.js"></script>' in out and 'type="module"' not in out
+
+
 def test_render_extract_roundtrip():
     site = generate_site(seed=11, n_hosts=2, docs_per_host=22)
     metas = site.meta_map()

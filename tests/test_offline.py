@@ -107,6 +107,52 @@ def test_sanitize_file_path():
     assert len(out) <= 200 and out.startswith("dir/") and out.endswith(".html")
 
 
+def test_rewrite_content_for_offline():
+    from siteone_crawler_spark.sources.offline import rewrite_content_for_offline
+
+    html = (
+        '<a href="/about">a</a><img src="/img/x.png">'
+        '<img srcset="/img/a.png 1x, /img/b.png 2x">'
+        "<style>.c{background:url(/img/bg.jpg)}</style>"
+        '<a href="#frag">f</a>'
+    )
+    out = rewrite_content_for_offline(
+        html, "https://ex.test/sub/page", "https://ex.test/",
+        is_external_domain_allowed_for_crawling=lambda _h: True,
+    )
+    # base /sub/page has depth 1 -> ../ prefixes; fragments untouched
+    assert 'href="../about.html"' in out
+    assert 'src="../img/x.png"' in out
+    assert 'srcset="../img/a.png 1x, ../img/b.png 2x"' in out
+    assert "url(../img/bg.jpg)" in out
+    assert 'href="#frag"' in out
+
+    css = ".a{background:url('/img/deep.webp')}"
+    out = rewrite_content_for_offline(
+        css, "https://ex.test/static/site.css", "https://ex.test/", "text/css",
+        is_external_domain_allowed_for_crawling=lambda _h: True,
+    )
+    assert "url('../img/deep.webp')" in out
+
+
+def test_export_offline_site(spark, tmp_path):
+    from siteone_crawler_spark.generator import generate_site, site_to_html
+    from siteone_crawler_spark.sources.offline import export_offline_site
+
+    site = generate_site(seed=4, n_hosts=1, docs_per_host=8, with_breaker_family=False)
+    rows = [r for r in site_to_html(site) if "html" in r[1]]
+    html_df = spark.createDataFrame(rows, "doc_id string, content_type string, body string")
+    out = str(tmp_path / "offline")
+    n = export_offline_site(html_df, out, site.seeds[0][0])
+    assert n == len(rows)
+    import os
+
+    assert os.path.exists(os.path.join(out, "index.html"))
+    idx = open(os.path.join(out, "index.html")).read()
+    # internal links rewritten to relative file paths, no absolute host refs
+    assert "https://h0000.example.test/p/1" not in idx or "p/1.html" in idx
+
+
 def test_offline_paths_spark(spark):
     from siteone_crawler_spark.sources.offline import offline_paths
 
