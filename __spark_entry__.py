@@ -499,6 +499,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_pairs"] = q_minhash_pairs
 
+    def q_ngram_jaccard(spark, sf_dir):
+        """n-gram Jaccard near-dup pipeline: LSH-banded candidates verified
+        by exact 3-shingle-set Jaccard (operators/dedup.near_duplicates_minhash)."""
+        from siteone_crawler_spark.functions.text import token_count
+        from siteone_crawler_spark.operators.dedup import near_duplicates_minhash
+
+        _register(spark, sf_dir)
+        docs = spark.table("documents").filter(
+            (F.col("doc_id") < 200) & (token_count(F.col("text")) >= 3)
+        )
+        return near_duplicates_minhash(docs, threshold=0.5, num_hashes=4, bands=2)
+
+    q["ngram_jaccard_pairs"] = q_ngram_jaccard
+
     # ---- set ops / grouping sets / semi-joins / ordering sinks ------------
     q["sitemap_order"] = sqlq(
         _URLS_CTE
@@ -599,6 +613,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=2)
 
     q["knn_ivf_topk"] = q_knn_ivf
+
+    def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding-cosine near-dup pairs via SRP blocking
+        (operators/similarity.embedding_near_dup_pairs)."""
+        from siteone_crawler_spark.operators.similarity import embedding_near_dup_pairs
+
+        _register(spark, sf_dir)
+        emb = spark.table("embeddings")
+        return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=6)
+
+    q["embedding_near_dups"] = q_emb_near_dups
 
     # ---- operator-routed analyzer queries (certify operators/*.py, not SQL) --
     def _dv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,6 +1234,77 @@ def oracle_sql() -> dict[str, str]:
                                        cast(q.qv AS double[])), 6) AS cos
         FROM embeddings e JOIN cand USING (vec_id), q
         ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+    # n-gram Jaccard near-dups: the minhash-band twin supplies candidates,
+    # then exact Jaccard over DISTINCT 3-shingle sets (dedup.jaccard_pairs)
+    o["ngram_jaccard_pairs"] = f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_shingles_sql('duck')}) AS shingle
+          FROM documents
+          WHERE doc_id < 200 AND len({_TOKS_DUCK}) >= 3
+        ), seeded AS (
+          SELECT doc_id, shingle, unnest(generate_series(0, 3)) AS seed FROM sh
+        ), sig AS (
+          SELECT doc_id, seed,
+                 min(md5(cast(seed AS string) || '|' || shingle)) AS minhash
+          FROM seeded GROUP BY doc_id, seed
+        ), bands AS (
+          SELECT doc_id, cast(floor(seed / 2) AS int) AS band,
+                 md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+          FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS int)
+        ), cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id
+        ), sets AS (
+          SELECT doc_id, list_distinct({_shingles_sql('duck')}) AS shl
+          FROM documents WHERE doc_id < 200 AND len({_TOKS_DUCK}) >= 3
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT c.doc_a, c.doc_b,
+            round(CASE WHEN len(list_distinct(list_concat(sa.shl, sb.shl))) > 0
+              THEN len(list_intersect(sa.shl, sb.shl)) * 1.0
+                   / len(list_distinct(list_concat(sa.shl, sb.shl)))
+              ELSE 0.0 END, 6) AS jaccard
+          FROM cand c
+          JOIN sets sa ON c.doc_a = sa.doc_id
+          JOIN sets sb ON c.doc_b = sb.doc_id
+        ) t WHERE jaccard >= 0.5"""
+
+    # Embedding near-dup pairs: SRP-bucket twin (6 md5-parity hyperplanes,
+    # as in knn_srp_topk) -> same-bucket pairs -> exact cosine >= threshold
+    o["embedding_near_dups"] = """
+        WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        ps AS (SELECT unnest(generate_series(0, 5)) AS p),
+        planes AS (
+          SELECT p, d,
+            CASE WHEN ('0x' || substring(md5(cast(p AS string) || '|'
+                 || cast(d AS string)), 1, 2))::INT % 2 = 0
+            THEN 1.0 ELSE -1.0 END AS w
+          FROM ps, dims
+        ),
+        vecexp AS (
+          SELECT vec_id, d, cast(embedding[d + 1] AS double) AS x
+          FROM embeddings, dims
+        ),
+        dots AS (
+          SELECT vec_id, p, sum(x * w) AS dot
+          FROM vecexp JOIN planes USING (d) GROUP BY vec_id, p
+        ),
+        buckets AS (
+          SELECT vec_id,
+            cast(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+          FROM dots GROUP BY vec_id
+        )
+        SELECT id_a, id_b, cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(list_cosine_similarity(cast(ea.embedding AS double[]),
+                                         cast(eb.embedding AS double[])), 6) AS cos
+          FROM buckets a
+          JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ) t WHERE cos >= 0.4"""
 
     # IVF ANN: the oracle REPLICATES the index — pivot centroids = vectors
     # of the 8 smallest ids, assignment = argmax cosine (ties -> larger
