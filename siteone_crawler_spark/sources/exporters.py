@@ -204,3 +204,126 @@ def markdown_spans(docs: DataFrame) -> DataFrame:
         "\n",
     )
     return ordered_spans(docs).select("doc_id", render.alias("markdown"))
+
+
+# --- S11 remainder: HTML report + text output sinks -------------------------
+# Presentation-only renderers over the same json_output() result dict; the
+# reference's html_report/report.rs and output/text_output.rs render the
+# identical SuperTables — all aggregation stays distributed, only the final
+# rows are collected.
+
+
+def _html_escape(s) -> str:
+    return (
+        str(s)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _html_table(name: str, rows: list[dict]) -> str:
+    if not rows:
+        return f"<h2>{_html_escape(name)}</h2>\n<p class='empty'>no rows</p>\n"
+    cols = list(rows[0].keys())
+    head = "".join(f"<th>{_html_escape(c)}</th>" for c in cols)
+    body = "\n".join(
+        "<tr>" + "".join(f"<td>{_html_escape(r.get(c, ''))}</td>" for c in cols) + "</tr>"
+        for r in rows
+    )
+    return (
+        f"<h2>{_html_escape(name)}</h2>\n"
+        f"<table><thead><tr>{head}</tr></thead>\n<tbody>\n{body}\n</tbody></table>\n"
+    )
+
+
+def html_report(
+    visited: DataFrame,
+    skipped: DataFrame,
+    config=None,
+    executed_at: str = "",
+    rows_limit: int = 1000,
+) -> str:
+    """S11 HTML report (html_report/report.rs in spirit): one self-contained
+    page — quality scores, crawl stats, and every SuperTable from
+    json_output() as an HTML table."""
+    out = json_output(
+        visited, skipped, config=config, executed_at=executed_at, rows_limit=rows_limit
+    )
+    qs = out["qualityScores"]
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        "<title>Crawl report</title>",
+        "<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}"
+        "th,td{border:1px solid #999;padding:2px 8px;font-size:13px}"
+        ".score{font-weight:bold}</style></head><body>",
+        f"<h1>Crawl report — {_html_escape(out['crawler']['name'])}"
+        f" {_html_escape(out['crawler']['version'])}</h1>",
+        f"<p>executed at: {_html_escape(executed_at)}</p>",
+        f"<h2>Quality</h2><p class='score'>overall: {qs['overall']['score']}"
+        f" ({_html_escape(qs['overall']['label'])})</p><ul>",
+    ]
+    for c in qs["categories"]:
+        parts.append(
+            f"<li>{_html_escape(c['name'])}: {c['score']} ({_html_escape(c['label'])},"
+            f" weight {c['weight']})</li>"
+        )
+    parts.append("</ul>")
+    st = out["stats"]
+    parts.append(
+        "<h2>Stats</h2><ul>"
+        f"<li>total URLs: {st['totalUrls']}</li>"
+        f"<li>avg time: {st['avgTimeS']} s</li>"
+        f"<li>p90 HTML time: {st['p90HtmlS']} s</li>"
+        f"<li>max time: {st['maxTimeS']} s</li>"
+        f"<li>by status: {_html_escape(st['countByStatus'])}</li></ul>"
+    )
+    for name, rows in out["tables"].items():
+        parts.append(_html_table(name, rows))
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def write_html_report(visited: DataFrame, skipped: DataFrame, path: str, **kw) -> str:
+    html = html_report(visited, skipped, **kw)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html)
+    return html
+
+
+def _text_table(name: str, rows: list[dict], max_width: int = 60) -> str:
+    if not rows:
+        return f"=== {name} ===\n(no rows)\n"
+    cols = list(rows[0].keys())
+    cells = [[str(r.get(c, ""))[:max_width] for c in cols] for r in rows]
+    widths = [
+        max(len(c), *(len(row[i]) for row in cells)) for i, c in enumerate(cols)
+    ]
+    sep = "-+-".join("-" * w for w in widths)
+    head = " | ".join(c.ljust(w) for c, w in zip(cols, widths))
+    body = "\n".join(
+        " | ".join(v.ljust(w) for v, w in zip(row, widths)) for row in cells
+    )
+    return f"=== {name} ===\n{head}\n{sep}\n{body}\n"
+
+
+def text_output(
+    visited: DataFrame, skipped: DataFrame, config=None, rows_limit: int = 50
+) -> str:
+    """S11 text output (output/text_output.rs in spirit): fixed-width ASCII
+    SuperTables, the console rendering of the same result dict."""
+    out = json_output(visited, skipped, config=config, rows_limit=rows_limit)
+    st = out["stats"]
+    qs = out["qualityScores"]
+    lines = [
+        f"crawl of {st['totalUrls']} URLs — avg {st['avgTimeS']} s,"
+        f" p90 HTML {st['p90HtmlS']} s, max {st['maxTimeS']} s",
+        f"status counts: {st['countByStatus']}",
+        f"quality: {qs['overall']['score']} ({qs['overall']['label']})",
+        "",
+    ]
+    for name, rows in out["tables"].items():
+        lines.append(_text_table(name, rows))
+    return "\n".join(lines)

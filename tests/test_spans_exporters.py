@@ -99,6 +99,28 @@ def test_json_exporter(spark, tmp_path, crawl_small):
     assert reloaded["stats"]["totalUrls"] == out["stats"]["totalUrls"]
 
 
+def test_html_and_text_report(spark, tmp_path, crawl_small):
+    from siteone_crawler_spark.sources.exporters import text_output, write_html_report
+
+    p = tmp_path / "report.html"
+    html = write_html_report(
+        crawl_small["visited"], crawl_small["skipped"], str(p), executed_at="t0"
+    )
+    assert p.exists() and p.read_text() == html
+    assert html.startswith("<!DOCTYPE html>")
+    # every SuperTable section renders, incl. the caching/header families
+    for section in ("content-types", "caching-per-domain", "headers",
+                    "slowest-urls", "skipped-summary"):
+        assert f"<h2>{section}</h2>" in html
+    assert "overall:" in html
+    # values are escaped, never raw-injected
+    assert "<script>" not in html.split("</style>")[-1]
+
+    txt = text_output(crawl_small["visited"], crawl_small["skipped"])
+    assert "=== content-types ===" in txt and "quality:" in txt
+    assert str(crawl_small["visited"].count()) in txt.splitlines()[0]
+
+
 def test_markdown_spans(spark):
     from siteone_crawler_spark.sources.exporters import markdown_spans
 
