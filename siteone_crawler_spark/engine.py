@@ -175,6 +175,7 @@ class CrawlEngine:
         seeds: list[tuple[str, int]],
         max_waves: int | None = None,
         external_frontier: DataFrame | None = None,
+        preseeded: bool = False,
     ) -> dict:
         cfg = self.config
         sc = self.spark.sparkContext
@@ -202,7 +203,8 @@ class CrawlEngine:
             self._restore_state(manifest["last_wave"])
         elif external_frontier is not None:
             wave = 0
-            self.seed_frontier(external_frontier)
+            if not preseeded:
+                self.seed_frontier(external_frontier)
         else:
             wave = 0
             self._bootstrap(seeds)
@@ -340,16 +342,20 @@ class CrawlEngine:
         if deferred is not None:
             self.store.write_table("deferred", wave + 1, deferred)
 
-        # "fetch": join docs + meta (S1 analog — in a real deployment this is
-        # a mapInPandas batch HTTP fetcher; here the docs table IS the web).
-        # Persist the RAW join: the breaker pre-check branches over it twice
-        # (wave_bad aggregate + main path), and visited/extraction reuse it.
+        # "fetch": join meta (S1 analog — in a real deployment this is a
+        # mapInPandas batch HTTP fetcher; here the docs table IS the web).
+        # Persist only the SLIM meta-side join — the breaker pre-check
+        # branches over it twice (wave_bad aggregate + main path) and the
+        # visited projection reuses it. The heavy spans column is NOT
+        # cached: serializing 10^6 span arrays into the block store is
+        # memory-bandwidth-bound and was the wave's worst-scaling stage
+        # (x1.9 from 2->8 cores); extraction re-joins docs for spans
+        # instead — join compute that scales with cores.
         raw_fetch = (
-            admitted.join(docs, admitted.url == F.col("__doc_url"), "left")
-            .join(meta, admitted.url == F.col("__meta_url"), "left")
+            admitted.join(meta, admitted.url == F.col("__meta_url"), "left")
             .withColumn("fetch_status", F.coalesce(F.col("status_code"), F.lit(-1)))
             .withColumn("basename", _basename_expr(F.col("url"), F.col("path")))
-            .drop("__doc_url", "__meta_url", "status_code")
+            .drop("__meta_url", "status_code")
         )
         raw_fetch.persist(StorageLevel.MEMORY_AND_DISK)
         self._wave_caches.append(raw_fetch)
@@ -389,7 +395,14 @@ class CrawlEngine:
             ).alias("cache_lifetime"),
         )
         # ---- extraction: spans of 200-pages + redirect Locations ----------
-        pages = fetched.filter((F.col("status") == 200) & F.col("spans").isNotNull())
+        # spans come from a fresh docs join (not the slim cache — see above);
+        # docs is bucketed/persisted on the join key so this is co-located
+        pages = (
+            fetched.filter(F.col("status") == 200)
+            .select("url", "host", "seq", "uq_id")
+            .join(docs, F.col("url") == F.col("__doc_url"), "inner")
+            .filter(F.col("spans").isNotNull())
+        )
         base_expr = F.coalesce(
             F.try_element_at(
                 F.filter("spans", lambda s: s.kind == F.lit("base_href")), F.lit(1)
@@ -484,22 +497,36 @@ class CrawlEngine:
         _mark("skipped+finalize")
         metrics.append((wave, "enqueued", n_new))
         metrics.append((wave, "skipped", self.store.count_rows("skipped", wave + 1)))
+        _mark("footer_counts")
 
-        self.store.write_table(
-            "metrics", wave, self.spark.createDataFrame(metrics, METRICS_SCHEMA)
-        )
-        # per-partition lineage (north rule): one row per output file/partition
-        lineage = self.store.collect_lineage(wave, ("visited",)) + self.store.collect_lineage(
-            wave + 1, ("frontier", "skipped")
-        )
-        self.store.write_table(
-            "lineage",
-            wave,
-            self.spark.createDataFrame(lineage, LINEAGE_SCHEMA)
-            if lineage
-            else self.spark.createDataFrame([], LINEAGE_SCHEMA),
-        )
+        # metrics + lineage are independent tiny writes — overlap them (the
+        # wave tail barely scaled with cores: x1.2 from 2->8)
+        def _write_metrics():
+            self.store.write_table(
+                "metrics", wave, self.spark.createDataFrame(metrics, METRICS_SCHEMA)
+            )
+
+        def _write_lineage():
+            # per-partition lineage (north rule): one row per output file
+            lineage = self.store.collect_lineage(
+                wave, ("visited",)
+            ) + self.store.collect_lineage(wave + 1, ("frontier", "skipped"))
+            self.store.write_table(
+                "lineage",
+                wave,
+                self.spark.createDataFrame(lineage, LINEAGE_SCHEMA)
+                if lineage
+                else self.spark.createDataFrame([], LINEAGE_SCHEMA),
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_m = ex.submit(_write_metrics)
+            f_l = ex.submit(_write_lineage)
+            f_m.result()
+            f_l.result()
+        _mark("metrics+lineage")
         self.store.commit_wave(wave, done=False)
+        _mark("commit")
         for h in self._wave_caches:
             h.unpersist()
         self._wave_caches.clear()
@@ -628,11 +655,13 @@ class CrawlEngine:
     ) -> int:
         cfg = self.config
 
-        # accepted: anti-join seen (bloom + exact), then first-wins dedup as
-        # min_by(struct(cols), struct(parent_seq, offset)) — a hash aggregate
-        # with map-side partial combine, so the shuffle carries ~unique keys
-        # instead of every duplicate (the window-function formulation would
-        # shuffle the full candidate set)
+        # accepted: anti-join seen FIRST (the bloom prefilter drops the
+        # dominant mass — occurrences of already-seen keys — MAP-SIDE,
+        # before any shuffle; dedup-first would push every wide candidate
+        # row through the agg shuffle instead), then first-wins dedup as
+        # min_by(struct(cols), struct(parent_seq, offset)) — a hash
+        # aggregate, not a window, so no per-duplicate sort and map-side
+        # partial combine where keys do co-locate
         unseen = self.seen.filter_new(accepted, n_seen=self.n_enqueued)
         data_cols = [col for col in unseen.columns if col != "url_key"]
         new = (

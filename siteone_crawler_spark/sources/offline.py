@@ -384,6 +384,21 @@ def rewrite_content_for_offline(
     return RE_CSS_URL_ATTR.sub(css_sub, out)
 
 
+def safe_export_target(out_dir: str, rel: str) -> str | None:
+    """Join a converted relative path onto the export root, refusing any
+    path that would land outside it — a crawled URL with encoded
+    dot-segments ('/%2e%2e/x' unquotes to '/../x' inside the converter)
+    must not become a write outside the export tree. Returns the absolute
+    target path, or None when containment fails."""
+    import os
+
+    root = os.path.realpath(out_dir)
+    target = os.path.realpath(os.path.join(root, rel.lstrip("/")))
+    if target == root or not target.startswith(root + os.sep):
+        return None
+    return target
+
+
 def export_offline_site(
     html_docs,
     out_dir: str,
@@ -414,7 +429,10 @@ def export_offline_site(
                     paths.append(None)
                     continue
                 rel = rel.split("#", 1)[0]
-                target = os.path.join(out_dir, rel)
+                target = safe_export_target(out_dir, rel)
+                if target is None:  # crafted ..-segments must not escape
+                    paths.append(None)
+                    continue
                 os.makedirs(os.path.dirname(target) or out_dir, exist_ok=True)
                 with open(target, "w", encoding="utf-8") as f:
                     f.write(
