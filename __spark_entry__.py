@@ -625,6 +625,246 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups"] = q_emb_near_dups
 
+    def q_security_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Security-header SuperTable (operators/security.security_stats —
+        security_analyzer.rs severity ladder) over visited rows whose
+        security headers are synthesized deterministically from seq
+        residues; the oracle reclassifies every residue class from first
+        principles."""
+        from siteone_crawler_spark.operators.security import security_stats
+
+        v = _dv(spark, sf_dir)
+        did = F.col("seq")
+
+        def m(k, expr):
+            return F.create_map(F.lit(k), expr)
+
+        sec = F.map_filter(
+            F.map_concat(
+                m(
+                    "strict-transport-security",
+                    F.when(did % 4 == 0, F.lit("max-age=63072000"))
+                    .when(did % 4 == 1, F.lit("max-age=0"))
+                    .when(did % 4 == 2, F.lit("max-age=600")),
+                ),
+                m(
+                    "x-frame-options",
+                    F.when(did % 5 == 0, F.lit("DENY"))
+                    .when(did % 5 == 1, F.lit("SAMEORIGIN"))
+                    .when(did % 5 == 2, F.lit("ALLOW-FROM"))
+                    .when(did % 5 == 3, F.lit("allowall")),
+                ),
+                m(
+                    "content-security-policy",
+                    F.when(did % 3 == 0, F.lit("default-src 'self'"))
+                    .when(did % 3 == 1, F.lit("script-src 'self' 'unsafe-inline'")),
+                ),
+                m(
+                    "server",
+                    F.when(did % 4 == 0, F.lit("nginx/1.25"))
+                    .when(did % 4 == 1, F.lit("nginx"))
+                    .when(did % 4 == 2, F.lit("custom")),
+                ),
+                m(
+                    "x-powered-by",
+                    F.when(did % 6 == 0, F.lit("PHP/8.2"))
+                    .when(did % 6 == 1, F.lit("Express")),
+                ),
+                m(
+                    "access-control-allow-origin",
+                    F.when(did % 5 == 0, F.lit("*"))
+                    .when(did % 5 == 1, F.lit("https://a.test"))
+                    .when(did % 5 == 2, F.lit("same-origin")),
+                ),
+                m("x-content-type-options", F.when(did % 2 == 0, F.lit("nosniff"))),
+                m(
+                    "set-cookie",
+                    F.when(did % 3 == 0, F.lit("sid=1; Secure; HttpOnly; SameSite=Lax"))
+                    .when(did % 3 == 1, F.lit("sid=2; HttpOnly")),
+                ),
+            ),
+            lambda _, vv: vv.isNotNull(),
+        )
+        v = v.withColumn(
+            "headers",
+            F.when(F.col("headers").isNotNull(), F.map_concat(F.col("headers"), sec)),
+        )
+        return security_stats(v)
+
+    q["security_stats"] = q_security_stats
+
+    def _seo_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic SEO-tagged HTML per documents row; the oracle
+        reconstructs the planted fields arithmetically."""
+        _register(spark, sf_dir)
+        did = F.col("doc_id").cast("long")
+        s = did.cast("string")
+        url = F.concat(
+            F.lit("https://h"), F.lpad((did % 7).cast("string"), 2, "0"),
+            F.lit(".corpus.test/p/"), s,
+        )
+        body = F.concat(
+            F.lit("<html><head><title>Doc "), (did * 31 % 113).cast("string"),
+            F.lit("</title>"),
+            F.when(
+                did % 4 == 0,
+                F.concat(F.lit('<meta name="description" content="Desc '), s, F.lit('">')),
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit('<meta name="robots" content="noindex">')).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit('<link rel="canonical" href="https://c.test/'), s, F.lit('">')),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit('<meta property="og:title" content="OG '), s, F.lit('">')),
+            ).otherwise(F.lit("")),
+            F.lit("</head><body><h1>H "), s, F.lit("</h1>"),
+            F.when(did % 6 == 0, F.lit("<h1>extra</h1>")).otherwise(F.lit("")),
+            F.lit("<h2>S</h2></body></html>"),
+        )
+        return spark.table("documents").select(url.alias("url"), body.alias("body"))
+
+    def q_seo_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SEO SuperTable (operators/seo.seo_stats — title/description/
+        robots/canonical extraction, seo_opengraph_analyzer.rs:650-711)."""
+        from siteone_crawler_spark.operators.seo import seo_stats
+
+        return seo_stats(_seo_fixture(spark, sf_dir))
+
+    q["seo_meta"] = q_seo_meta
+
+    def q_heading_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Heading-tree SuperTable (operators/seo.heading_stats —
+        build_heading_tree + h1-count errors, rs:780-888)."""
+        from siteone_crawler_spark.operators.seo import heading_stats
+
+        return heading_stats(_seo_fixture(spark, sf_dir))
+
+    q["seo_headings"] = q_heading_stats
+
+    def q_accessibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Accessibility summary (operators/accessibility — img alt, form
+        labels, accessible names, main landmark, lang attr, duplicate ids;
+        accessibility_analyzer.rs:64-424) over residue-planted HTML."""
+        from siteone_crawler_spark.operators.accessibility import (
+            accessibility_summary,
+        )
+
+        _register(spark, sf_dir)
+        did = F.col("doc_id").cast("long")
+        body = F.concat(
+            F.lit("<html"),
+            F.when(did % 3 == 0, F.lit(' lang="en"')).otherwise(F.lit("")),
+            F.lit("><body>"),
+            F.when(did % 2 == 0, F.lit("<main>")).otherwise(F.lit("")),
+            F.lit('<img src="a.png"'),
+            F.when(did % 4 == 0, F.lit("")).otherwise(F.lit(' alt="x"')),
+            F.lit('><a href="/t">text</a>'),
+            F.when(did % 5 == 0, F.lit('<a href="/i"><svg></svg></a>')).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 6 == 0, F.lit('<input id="q" type="text">')).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 7 == 0, F.lit('<div id="d"></div><div id="d"></div>')
+            ).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit("</main>")).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        )
+        docs = spark.table("documents").select(
+            F.concat(F.lit("https://a.corpus.test/p/"), did.cast("string")).alias(
+                "url"
+            ),
+            body.alias("body"),
+        )
+        return accessibility_summary(docs)
+
+    q["accessibility_summary"] = q_accessibility
+
+    def _host_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic host-probe rows (operators/network.synth_probes
+        with an oracle-reproducible seed): 97 distinct hosts derived from
+        documents."""
+        from siteone_crawler_spark.operators.network import synth_probes
+
+        _register(spark, sf_dir)
+        idx = F.col("doc_id").cast("long") % 97
+        targets = (
+            spark.table("documents")
+            .select(
+                F.concat(F.lit("h"), idx.cast("string"), F.lit(".corpus.test")).alias(
+                    "host"
+                ),
+                F.lit(443).cast("int").alias("port"),
+                idx.alias("__seed"),
+            )
+            .distinct()
+        )
+        return synth_probes(targets, 1_800_000_000)
+
+    def q_tls_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TLS finding summary (operators/network.tls_summary — the
+        ssl_tls/mod.rs severity codes) over synthesized host probes."""
+        from siteone_crawler_spark.operators.network import tls_summary
+
+        return tls_summary(_host_probes(spark, sf_dir), 1_800_000_000)
+
+    q["tls_summary"] = q_tls_summary
+
+    def q_dns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DNS SuperTable (operators/network.dns_stats — resolved-domain
+        chain + record counts, dns_analyzer.rs:34-120)."""
+        from siteone_crawler_spark.operators.network import dns_stats
+
+        return dns_stats(_host_probes(spark, sf_dir))
+
+    q["dns_stats"] = q_dns_stats
+
+    def q_best_practices(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Best-practice summary (operators/best_practices — inline SVGs,
+        unquoted attrs, DOM depth, phone clickability;
+        best_practice_analyzer.rs:173-614) over residue-planted HTML."""
+        from siteone_crawler_spark.operators.best_practices import (
+            best_practice_summary,
+        )
+
+        _register(spark, sf_dir)
+        did = F.col("doc_id").cast("long")
+        body = F.concat(
+            F.lit("<html><body>"),
+            F.when(did % 4 == 0, F.lit("<a href=/unq>x</a>")).otherwise(
+                F.lit('<a href="/q">x</a>')
+            ),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit("<svg>"), F.repeat(F.lit("s"), 6000), F.lit("</svg>")),
+            ).otherwise(F.lit("<svg><rect></rect></svg>")),
+            F.when(did % 3 == 0, F.repeat(F.lit("<div>"), 35)).otherwise(
+                F.lit("<div>")
+            ),
+            F.lit("x"),
+            F.when(did % 3 == 0, F.repeat(F.lit("</div>"), 35)).otherwise(
+                F.lit("</div>")
+            ),
+            F.when(did % 7 == 0, F.lit("<p>+420 123 456 789</p>")).otherwise(
+                F.lit("")
+            ),
+            F.lit("</body></html>"),
+        )
+        docs = spark.table("documents").select(
+            F.concat(F.lit("https://b.corpus.test/p/"), did.cast("string")).alias(
+                "url"
+            ),
+            body.alias("body"),
+        )
+        return best_practice_summary(docs)
+
+    q["best_practices_summary"] = q_best_practices
+
     # ---- operator-routed analyzer queries (certify operators/*.py, not SQL) --
     def _dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         from siteone_crawler_spark.sources.docs import derive_visited_from_documents
@@ -1305,6 +1545,203 @@ def oracle_sql() -> dict[str, str]:
           JOIN embeddings ea ON ea.vec_id = a.vec_id
           JOIN embeddings eb ON eb.vec_id = b.vec_id
         ) t WHERE cos >= 0.4"""
+
+    # SEO fixtures: the oracle reconstructs the planted fields purely
+    # arithmetically — it never parses HTML, so the Spark-side regexp
+    # extraction (operators/seo.py) is genuinely checked
+    o["seo_meta"] = """
+        SELECT '/p/' || cast(did AS string) AS path,
+          'Doc ' || cast(did * 31 % 113 AS string) AS title,
+          CASE WHEN did % 4 = 0 THEN 'Desc ' || cast(did AS string) END AS description,
+          cast(NULL AS string) AS keywords,
+          'H ' || cast(did AS string) AS h1,
+          did % 5 = 0 AS noindex,
+          false AS nofollow,
+          CASE WHEN did % 3 = 0 THEN 'https://c.test/' || cast(did AS string) END AS canonical
+        FROM (SELECT cast(doc_id AS bigint) AS did FROM documents) d
+        ORDER BY path"""
+
+    o["seo_headings"] = """
+        SELECT '/p/' || cast(did AS string) AS path,
+          cast(CASE WHEN did % 6 = 0 THEN 3 ELSE 2 END AS int) AS n_headings,
+          cast(CASE WHEN did % 6 = 0 THEN 2 ELSE 1 END AS int) AS n_h1,
+          did % 6 = 0 AS h1_error,
+          CASE WHEN did % 6 = 0
+            THEN ['H ' || cast(did AS string), 'extra', 'S']
+            ELSE ['H ' || cast(did AS string), 'S'] END AS heading_texts
+        FROM (SELECT cast(doc_id AS bigint) AS did FROM documents) d
+        ORDER BY path"""
+
+    # Best-practice summary: residue-planted checks, counted directly
+    o["best_practices_summary"] = """
+        SELECT cast(count(*) AS bigint) AS n_pages,
+          cast(sum(CASE WHEN did % 5 = 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_large_svgs,
+          cast(0 AS bigint) AS pages_duplicated_svgs,
+          cast(sum(CASE WHEN did % 4 = 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_missing_quotes,
+          cast(sum(CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_deep_dom,
+          cast(sum(CASE WHEN did % 7 = 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_nonclickable_phones
+        FROM (SELECT cast(doc_id AS bigint) AS did FROM documents) d"""
+
+    # TLS/DNS: the oracle re-derives every probe feature from the seed
+    # residues (synth_probes' documented keying) and reclassifies the
+    # ssl_tls/mod.rs finding codes independently
+    o["tls_summary"] = """
+        WITH s AS (SELECT unnest(generate_series(0, 96)) AS k),
+        ok AS (SELECT k FROM s WHERE k % 13 <> 12 AND k % 11 <> 10),
+        f AS (
+          SELECT 'ssl-certificate-connect' AS code, 4 AS severity
+          FROM s WHERE k % 13 = 12
+          UNION ALL SELECT 'ssl-tls-handshake-failed', 4
+          FROM s WHERE k % 13 <> 12 AND k % 11 = 10
+          UNION ALL SELECT 'ssl-certificate-valid-to', 4 FROM ok WHERE k % 7 = 6
+          UNION ALL SELECT 'ssl-weak-signature', 4 FROM ok WHERE k % 9 = 8
+          UNION ALL SELECT 'ssl-signature-strong', 1 FROM ok WHERE k % 9 <> 8
+          UNION ALL SELECT 'ssl-weak-key', 4 FROM ok WHERE k % 10 = 9
+          UNION ALL SELECT 'ssl-key-strong', 1 FROM ok WHERE k % 10 <> 9
+          UNION ALL SELECT 'ssl-no-common-name', 2 FROM ok WHERE k % 17 = 16
+          UNION ALL SELECT 'ssl-certificate-untrusted', 4 FROM ok WHERE k % 5 = 4
+          UNION ALL SELECT 'ssl-certificate-trusted', 1 FROM ok WHERE k % 5 <> 4
+          UNION ALL SELECT 'ssl-protocol-unsafe', 4 FROM ok WHERE k % 6 = 5
+          UNION ALL SELECT 'ssl-protocol-hint', 4 FROM ok WHERE k % 6 = 5
+        )
+        SELECT code, cast(severity AS int) AS severity,
+          cast(count(*) AS bigint) AS n_hosts
+        FROM f GROUP BY code, severity ORDER BY code, severity"""
+
+    o["dns_stats"] = """
+        WITH s AS (SELECT unnest(generate_series(0, 96)) AS k),
+        h AS (SELECT k, 'h' || cast(k AS string) || '.corpus.test' AS host FROM s)
+        SELECT host,
+          CASE WHEN k % 4 = 0 THEN [host, 'cdn.' || host] ELSE [host] END
+            AS resolved_chain,
+          cast(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS int) AS n_cnames,
+          cast(1 AS int) AS n_ipv4,
+          cast(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS int) AS n_ipv6,
+          true AS resolved
+        FROM h ORDER BY host"""
+
+    # Accessibility summary: every check is planted by residue; the oracle
+    # counts the residue classes directly
+    o["accessibility_summary"] = """
+        SELECT cast(count(*) AS bigint) AS n_pages,
+          cast(sum(CASE WHEN did % 4 = 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_missing_img_alt,
+          cast(sum(CASE WHEN did % 6 = 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_missing_form_labels,
+          cast(sum(CASE WHEN did % 5 = 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_unnamed_interactive,
+          cast(sum(CASE WHEN did % 2 <> 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_missing_main_landmark,
+          cast(sum(CASE WHEN did % 3 <> 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_missing_lang,
+          cast(sum(CASE WHEN did % 7 = 0 THEN 1 ELSE 0 END) AS bigint)
+            AS pages_duplicate_ids
+        FROM (SELECT cast(doc_id AS bigint) AS did FROM documents) d"""
+
+    # Security-header SuperTable: the oracle reclassifies every synthesized
+    # residue class from first principles (the severity ladder of
+    # security_analyzer.rs re-derived in SQL) and aggregates counts +
+    # sorted value samples per header
+    o["security_stats"] = """
+        WITH d AS (
+          SELECT cast(doc_id AS bigint) AS did FROM documents
+          WHERE cast(doc_id AS bigint) % 10 <> 9
+        )
+        SELECT 'access-control-allow-origin' AS header, max(sev) AS highest_severity,
+          cast(sum(CASE WHEN sev=1 THEN 1 ELSE 0 END) AS bigint) AS n_ok,
+          cast(sum(CASE WHEN sev=2 THEN 1 ELSE 0 END) AS bigint) AS n_notice,
+          cast(sum(CASE WHEN sev=3 THEN 1 ELSE 0 END) AS bigint) AS n_warning,
+          cast(sum(CASE WHEN sev=4 THEN 1 ELSE 0 END) AS bigint) AS n_critical,
+          ['*','https://a.test','same-origin'] AS values_sample
+        FROM (SELECT CASE did%5 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 1 END AS sev
+              FROM d WHERE did%5 < 3) t
+        UNION ALL
+        SELECT 'content-security-policy', max(sev),
+          cast(sum(CASE WHEN sev=1 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=2 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=3 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=4 THEN 1 ELSE 0 END) AS bigint),
+          ['default-src ''self''','script-src ''self'' ''unsafe-inline''']
+        FROM (SELECT CASE did%3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS sev FROM d) t
+        UNION ALL
+        SELECT 'cross-origin-embedder-policy', 2, cast(0 AS bigint),
+          cast(count(*) AS bigint), cast(0 AS bigint), cast(0 AS bigint),
+          []::VARCHAR[] FROM d
+        UNION ALL
+        SELECT 'cross-origin-opener-policy', 2, cast(0 AS bigint),
+          cast(count(*) AS bigint), cast(0 AS bigint), cast(0 AS bigint),
+          []::VARCHAR[] FROM d
+        UNION ALL
+        SELECT 'cross-origin-resource-policy', 2, cast(0 AS bigint),
+          cast(count(*) AS bigint), cast(0 AS bigint), cast(0 AS bigint),
+          []::VARCHAR[] FROM d
+        UNION ALL
+        SELECT 'feature-policy', 3, cast(0 AS bigint), cast(0 AS bigint),
+          cast(count(*) AS bigint), cast(0 AS bigint), []::VARCHAR[] FROM d
+        UNION ALL
+        SELECT 'permissions-policy', 3, cast(0 AS bigint), cast(0 AS bigint),
+          cast(count(*) AS bigint), cast(0 AS bigint), []::VARCHAR[] FROM d
+        UNION ALL
+        SELECT 'referrer-policy', 3, cast(0 AS bigint), cast(0 AS bigint),
+          cast(count(*) AS bigint), cast(0 AS bigint), []::VARCHAR[] FROM d
+        UNION ALL
+        SELECT 'x-xss-protection', 1, cast(count(*) AS bigint), cast(0 AS bigint),
+          cast(0 AS bigint), cast(0 AS bigint), []::VARCHAR[] FROM d
+        UNION ALL
+        SELECT 'strict-transport-security', max(sev),
+          cast(sum(CASE WHEN sev=1 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=2 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=3 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=4 THEN 1 ELSE 0 END) AS bigint),
+          ['max-age=0','max-age=600','max-age=63072000']
+        FROM (SELECT CASE did%4 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 3 ELSE 4 END AS sev FROM d) t
+        UNION ALL
+        SELECT 'x-frame-options', max(sev),
+          cast(sum(CASE WHEN sev=1 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=2 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=3 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=4 THEN 1 ELSE 0 END) AS bigint),
+          ['ALLOW-FROM','DENY','SAMEORIGIN','allowall']
+        FROM (SELECT CASE did%5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 3 END AS sev FROM d) t
+        UNION ALL
+        SELECT 'server', max(sev),
+          cast(sum(CASE WHEN sev=1 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=2 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=3 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=4 THEN 1 ELSE 0 END) AS bigint),
+          ['custom','nginx','nginx/1.25']
+        FROM (SELECT CASE did%4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END AS sev FROM d) t
+        UNION ALL
+        SELECT 'x-powered-by', max(sev),
+          cast(sum(CASE WHEN sev=1 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=2 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=3 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=4 THEN 1 ELSE 0 END) AS bigint),
+          ['Express','PHP/8.2']
+        FROM (SELECT CASE did%6 WHEN 0 THEN 4 ELSE 3 END AS sev
+              FROM d WHERE did%6 < 2) t
+        UNION ALL
+        SELECT 'x-content-type-options', max(sev),
+          cast(sum(CASE WHEN sev=1 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=2 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=3 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=4 THEN 1 ELSE 0 END) AS bigint),
+          ['nosniff']
+        FROM (SELECT CASE did%2 WHEN 0 THEN 1 ELSE 3 END AS sev FROM d) t
+        UNION ALL
+        SELECT 'set-cookie', max(sev),
+          cast(sum(CASE WHEN sev=1 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=2 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=3 THEN 1 ELSE 0 END) AS bigint),
+          cast(sum(CASE WHEN sev=4 THEN 1 ELSE 0 END) AS bigint),
+          ['sid']
+        FROM (SELECT CASE did%3 WHEN 0 THEN 1 ELSE 4 END AS sev
+              FROM d WHERE did%3 < 2) t
+        ORDER BY header"""
 
     # IVF ANN: the oracle REPLICATES the index — pivot centroids = vectors
     # of the 8 smallest ids, assignment = argmax cosine (ties -> larger
