@@ -89,6 +89,7 @@ def json_output(
     executed_at: str = "",
     results_limit: int | None = None,
     rows_limit: int = 1000,
+    html_docs: DataFrame | None = None,
 ) -> dict:
     """S11: the reference's full JSON output shape (docs/JSON-OUTPUT.md §3 —
     8 top-level keys: crawler, extraColumnsFromAnalysis, options,
@@ -150,6 +151,22 @@ def json_output(
         "best-practices": _rows(A.format_support(visited)),
         "analysis-stats": _rows(A.wave_stats(visited), rows_limit),
     }
+    # security header hygiene runs off the visited headers map directly
+    if "headers" in visited.columns:
+        from ..operators.security import security_stats
+
+        tables["security"] = _rows(security_stats(visited), rows_limit)
+    # content-derived tables need page bodies — included when provided
+    if html_docs is not None:
+        from ..operators.accessibility import accessibility_summary
+        from ..operators.best_practices import best_practice_summary
+        from ..operators.seo import heading_stats, og_stats, seo_stats
+
+        tables["seo"] = _rows(seo_stats(html_docs), rows_limit)
+        tables["open-graph"] = _rows(og_stats(html_docs), rows_limit)
+        tables["seo-headings"] = _rows(heading_stats(html_docs), rows_limit)
+        tables["accessibility"] = _rows(accessibility_summary(html_docs))
+        tables["best-practices-content"] = _rows(best_practice_summary(html_docs))
 
     return {
         "crawler": {
@@ -244,12 +261,14 @@ def html_report(
     config=None,
     executed_at: str = "",
     rows_limit: int = 1000,
+    html_docs: DataFrame | None = None,
 ) -> str:
     """S11 HTML report (html_report/report.rs in spirit): one self-contained
     page — quality scores, crawl stats, and every SuperTable from
     json_output() as an HTML table."""
     out = json_output(
-        visited, skipped, config=config, executed_at=executed_at, rows_limit=rows_limit
+        visited, skipped, config=config, executed_at=executed_at,
+        rows_limit=rows_limit, html_docs=html_docs,
     )
     qs = out["qualityScores"]
     parts = [

@@ -121,6 +121,25 @@ def test_html_and_text_report(spark, tmp_path, crawl_small):
     assert str(crawl_small["visited"].count()) in txt.splitlines()[0]
 
 
+def test_report_with_content_tables(spark, tmp_path, crawl_small):
+    """security table always present (headers column exists); seo/
+    accessibility/best-practice tables appear when html_docs is passed."""
+    from siteone_crawler_spark.sources.exporters import json_output
+
+    docs = spark.createDataFrame(
+        [("https://h.test/p", "<html lang='en'><head><title>T</title></head>"
+          "<body><main><h1>H</h1></main></body></html>")],
+        "url string, body string",
+    )
+    out = json_output(crawl_small["visited"], crawl_small["skipped"], html_docs=docs)
+    assert "security" in out["tables"] and out["tables"]["security"]
+    for t in ("seo", "open-graph", "seo-headings", "accessibility",
+              "best-practices-content"):
+        assert t in out["tables"], t
+    assert out["tables"]["seo"][0]["title"] == "T"
+    assert out["tables"]["accessibility"][0]["pages_missing_lang"] == 0
+
+
 def test_markdown_spans(spark):
     from siteone_crawler_spark.sources.exporters import markdown_spans
 
