@@ -155,7 +155,7 @@ def run_queries(spark) -> dict:
         "tpch_q1", "dedup_exact", "minhash_lsh_pairs", "knn_cosine_topk",
         "quality_score", "lang_id", "sessionize", "url_canonicalize",
         "url_dedup_first_wins", "extract_links", "simhash_near_pairs",
-        "knn_ivf_topk",
+        "knn_ivf_topk", "security_stats", "seo_meta",
     ]
     qs = E.queries()
     out = {}

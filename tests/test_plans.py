@@ -151,3 +151,36 @@ def test_near_dup_paths_have_no_cartesian(spark):
         plan = explain_str(df, "simple")
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_content_analyzers_no_python_in_scan(spark):
+    """The security/SEO/accessibility/best-practice analyzers must stay
+    whole-stage-codegen'd — any ArrowEval/BatchEval node means a Python
+    exchange leaked into the per-page scan."""
+    from siteone_crawler_spark.operators.accessibility import accessibility_stats
+    from siteone_crawler_spark.operators.best_practices import best_practice_stats
+    from siteone_crawler_spark.operators.security import security_stats
+    from siteone_crawler_spark.operators.seo import heading_stats, seo_stats
+
+    docs = spark.range(20).select(
+        F.concat(F.lit("https://h.test/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html lang='en'><head><title>T</title></head><body><h1>H"),
+            F.col("id").cast("string"),
+            F.lit("</h1><img src='x.png'></body></html>"),
+        ).alias("body"),
+    )
+    vis = spark.range(20).select(
+        F.concat(F.lit("https://h.test/p/"), F.col("id").cast("string")).alias("url"),
+        F.create_map(F.lit("server"), F.lit("nginx")).alias("headers"),
+    )
+    for df in (
+        security_stats(vis),
+        seo_stats(docs),
+        heading_stats(docs),
+        accessibility_stats(docs),
+        best_practice_stats(docs),
+    ):
+        plan = explain_str(df, "simple")
+        assert "ArrowEval" not in plan and "BatchEval" not in plan, plan
+        assert "PythonUDF" not in plan, plan
