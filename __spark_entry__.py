@@ -513,6 +513,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_pairs"] = q_ngram_jaccard
 
+    def q_cdc_pairs(spark, sf_dir):
+        """Content-defined-chunking near-dups: md5-window boundaries,
+        chunk-multiset overlap via inverted-index join
+        (operators/dedup.cdc_near_duplicates)."""
+        from siteone_crawler_spark.operators.dedup import cdc_near_duplicates
+
+        _register(spark, sf_dir)
+        docs = spark.table("documents").filter(F.col("doc_id") < 150)
+        return cdc_near_duplicates(docs, threshold=0.3)
+
+    q["cdc_near_dups"] = q_cdc_pairs
+
     # ---- set ops / grouping sets / semi-joins / ordering sinks ------------
     q["sitemap_order"] = sqlq(
         _URLS_CTE
@@ -1510,6 +1522,50 @@ def oracle_sql() -> dict[str, str]:
           JOIN sets sa ON c.doc_a = sa.doc_id
           JOIN sets sb ON c.doc_b = sb.doc_id
         ) t WHERE jaccard >= 0.5"""
+
+    # CDC near-dups: full SQL twin — the oracle recomputes the md5-window
+    # boundaries, chunk hashes and multiset overlap independently
+    o["cdc_near_dups"] = """
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE cast(doc_id AS bigint) < 150
+        ),
+        b AS (
+          SELECT doc_id, text,
+            [1] || list_filter(
+              generate_series(2, greatest(length(text) - 7, 1)),
+              i -> ('0x' || substring(md5(substring(text, i, 8)), 1, 4))::INT % 16 = 0
+            ) || [length(text) + 1] AS bounds
+          FROM d
+        ),
+        ch AS (
+          SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, len(bounds) - 1),
+              k -> md5(substring(text, bounds[k], bounds[k + 1] - bounds[k]))
+            )) AS chunk_hash
+          FROM b
+        ),
+        cc AS (
+          SELECT doc_id, chunk_hash, count(*) AS n FROM ch GROUP BY doc_id, chunk_hash
+        ),
+        tot AS (SELECT doc_id, sum(n) AS total FROM cc GROUP BY doc_id),
+        keepch AS (
+          SELECT chunk_hash FROM cc GROUP BY chunk_hash HAVING count(*) <= 10000
+        ),
+        cc2 AS (SELECT cc.* FROM cc JOIN keepch USING (chunk_hash)),
+        sh AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(least(a.n, b.n)) AS shared
+          FROM cc2 a JOIN cc2 b
+            ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, overlap FROM (
+          SELECT doc_a, doc_b,
+            round(shared * 1.0 / least(ta.total, tb.total), 6) AS overlap
+          FROM sh
+          JOIN tot ta ON ta.doc_id = sh.doc_a
+          JOIN tot tb ON tb.doc_id = sh.doc_b
+        ) t WHERE overlap >= 0.3"""
 
     # Embedding near-dup pairs: SRP-bucket twin (6 md5-parity hyperplanes,
     # as in knn_srp_topk) -> same-bucket pairs -> exact cosine >= threshold

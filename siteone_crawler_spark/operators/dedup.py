@@ -240,3 +240,105 @@ def simhash_near_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- content-defined chunking (CDC) dedup -----------------------------------
+# Chunk-level near-dup detection for training corpora: boundaries are a
+# pure function of a local w-char window (the CDC property — an insertion
+# shifts at most the chunks it touches, unlike fixed-size chunking), so
+# shared content yields shared chunk hashes whatever its offset. The
+# "rolling hash" is md5 over each w-char window — not an O(1)-update
+# Karp-Rabin, but the SAME boundary-locality property, and it stays a
+# native Catalyst expression on both the Spark and the SQL-oracle side.
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask: int = 16,
+    min_len: int = 1,
+) -> DataFrame:
+    """One row per (doc_id, chunk_hash, n): boundaries where
+    md5(window)'s leading 16 bits % mask == 0; chunks are the spans
+    between boundaries, hashed by md5. n counts duplicate chunks within
+    the doc (multiset semantics for the overlap measure)."""
+    t = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(t) - window + 1, F.lit(1)))
+    is_boundary = lambda i: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.substring(t, i, window)), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % mask
+        == 0
+    )
+    bounds = F.concat(
+        F.array(F.lit(1)),
+        F.filter(positions, lambda i: (i > 1) & is_boundary(i)),
+        F.array(F.length(t) + 1),
+    )
+    idx = F.sequence(F.lit(1), F.size(bounds) - 1)
+    chunks = F.transform(
+        idx,
+        lambda k: F.substring(
+            t,
+            F.element_at(bounds, k),
+            F.element_at(bounds, k + 1) - F.element_at(bounds, k),
+        ),
+    )
+    chunks = F.filter(chunks, lambda c: F.length(c) >= min_len)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.transform(chunks, F.md5)).alias("chunk_hash")
+    )
+    return out.groupBy("doc_id", "chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def cdc_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask: int = 16,
+    max_chunk_freq: int | None = 10_000,
+) -> DataFrame:
+    """Pairs of docs whose chunk-multiset overlap ratio
+    (shared / min(total_a, total_b)) >= threshold. Candidates come from an
+    inverted-index equi-join on chunk_hash — no all-pairs anywhere; chunks
+    appearing in more than `max_chunk_freq` docs (boilerplate) are dropped
+    from pairing, the same over-full-bucket guard as the LSH families."""
+    ch = cdc_chunks(docs, id_col, text_col, window, mask)
+    totals = ch.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    if max_chunk_freq is not None:
+        keep = (
+            ch.groupBy("chunk_hash")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= max_chunk_freq)
+            .select("chunk_hash")
+        )
+        ch = ch.join(keep, "chunk_hash")
+    a = ch.select(F.col("doc_id").alias("doc_a"), "chunk_hash", F.col("n").alias("na"))
+    b = ch.select(F.col("doc_id").alias("doc_b"), "chunk_hash", F.col("n").alias("nb"))
+    shared = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("na", "nb")).alias("shared"))
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("total").alias("ta"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("total").alias("tb"))
+    return (
+        shared.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / F.least("ta", "tb"), 6
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
+    )

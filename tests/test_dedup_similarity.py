@@ -67,6 +67,48 @@ def test_simhash(docs):
     assert pairs.get((4, 5)) == 0
 
 
+def test_cdc_chunk_dedup(spark):
+    """Content-defined chunking: shared content yields shared chunk hashes
+    at ANY offset (the CDC property a fixed-size chunker lacks)."""
+    from siteone_crawler_spark.operators.dedup import cdc_chunks, cdc_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    rows = [
+        (1, base),
+        (2, "PREFIX SHIFTS EVERYTHING " + base),  # same content, new offset
+        (3, "totally different text about spark execution plans " * 9),
+        (4, base[: len(base) // 2]),  # half of doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ch = cdc_chunks(docs)
+    per_doc = {
+        r["doc_id"]: r["cnt"]
+        for r in ch.groupBy("doc_id").agg(F.sum("n").alias("cnt")).collect()
+    }
+    assert all(per_doc[d] >= 2 for d in (1, 2, 3))  # multi-chunk docs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["overlap"]
+        for r in cdc_near_duplicates(docs, threshold=0.3).collect()
+    }
+    assert pairs.get((1, 2), 0) > 0.7  # offset-shifted copy still matches
+    assert pairs.get((1, 4), 0) > 0.5  # containment: half-doc vs full doc
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # determinism
+    a = sorted(map(tuple, ch.collect()))
+    b = sorted(map(tuple, cdc_chunks(docs).collect()))
+    assert a == b
+
+    # boilerplate guard: a chunk in every doc is dropped from pairing
+    many = spark.createDataFrame(
+        [(i, "shared boilerplate sentence everywhere " * 4) for i in range(8)],
+        "doc_id long, text string",
+    )
+    assert cdc_near_duplicates(many, threshold=0.1, max_chunk_freq=3).count() == 0
+
+
 def test_bucket_count_guard(spark, docs):
     """max_bucket drops over-full LSH buckets (the within-bucket quadratic
     guard) without touching pairs from small buckets."""
