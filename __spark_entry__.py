@@ -525,6 +525,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_near_dups"] = q_cdc_pairs
 
+    def q_subword_tokens(spark, sf_dir):
+        """BPE-ish subword token counts per language
+        (functions/text.subword_token_count)."""
+        from siteone_crawler_spark.functions.text import subword_token_count
+
+        _register(spark, sf_dir)
+        return (
+            spark.table("documents")
+            .select(F.col("lang"), subword_token_count(F.col("text")).alias("t"))
+            .groupBy("lang")
+            .agg(
+                F.sum("t").cast("long").alias("total_subword_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            )
+            .orderBy("lang")
+        )
+
+    q["subword_token_count"] = q_subword_tokens
+
     # ---- set ops / grouping sets / semi-joins / ordering sinks ------------
     q["sitemap_order"] = sqlq(
         _URLS_CTE
@@ -1522,6 +1541,23 @@ def oracle_sql() -> dict[str, str]:
           JOIN sets sa ON c.doc_a = sa.doc_id
           JOIN sets sb ON c.doc_b = sb.doc_id
         ) t WHERE jaccard >= 0.5"""
+
+    # BPE-ish subword tokens: the oracle reruns the same RE2-safe
+    # pre-tokenizer regex and the per-token 4-char-block extras
+    o["subword_token_count"] = r"""
+        WITH r AS (
+          SELECT lang,
+            regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+            ) AS toks
+          FROM documents
+        )
+        SELECT lang,
+          cast(sum(len(toks) + coalesce(list_sum(list_transform(toks,
+            t -> greatest(cast(ceil(length(trim(t)) / 4.0) AS int) - 1, 0))), 0))
+            AS bigint) AS total_subword_tokens,
+          cast(count(*) AS bigint) AS n_docs
+        FROM r GROUP BY lang ORDER BY lang"""
 
     # CDC near-dups: full SQL twin — the oracle recomputes the md5-window
     # boundaries, chunk hashes and multiset overlap independently

@@ -43,6 +43,32 @@ def char_count(col) -> Column:
     return F.length(col)
 
 
+# GPT-2-style pre-tokenizer (public pattern family): contractions, an
+# optional leading space glued to letter/digit/symbol runs. The reference
+# lookahead variant (`\s+(?!\S)`) is dropped so the same pattern runs under
+# Java regex (Spark) AND RE2 (DuckDB oracle) — whitespace runs merge into
+# the following token's leading space either way.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_token_count(col) -> Column:
+    """BPE-ish token estimate: pre-tokenizer match count plus one extra
+    subword per started 4-char block beyond the first in each pre-token —
+    the split pressure a byte-pair vocabulary applies to long words.
+    Deterministic, tokenizer-file-free, and fully native (regexp + one
+    array aggregate)."""
+    toks = F.regexp_extract_all(col, F.lit(f"({BPE_PRETOKEN_RE})"), 1)
+    extras = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda a, t: a
+        + F.greatest(
+            F.ceil(F.length(F.trim(t)) / 4).cast("int") - 1, F.lit(0)
+        ),
+    )
+    return F.size(toks) + extras
+
+
 def punct_ratio(col) -> Column:
     """Fraction of characters that are not alnum/space."""
     stripped = F.length(F.regexp_replace(col, "[a-zA-Z0-9 ]", ""))
