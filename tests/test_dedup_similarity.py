@@ -294,3 +294,32 @@ def test_subword_token_count(spark):
         for r in df.select("doc_id", subword_token_count(F.col("text")).alias("n")).collect()
     }
     assert got == {1: 4, 2: 3, 3: 5, 4: 0, 5: 5}
+
+
+def test_stored_ann_index(spark, tmp_path):
+    """The stored index must return the same results as the inline bucketed
+    search AND prune partitions (read only the probed bucket dirs)."""
+    from siteone_crawler_spark.operators.similarity import (
+        ann_topk_indexed,
+        build_ann_index,
+        ivf_topk,
+        srp_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    srp_path = str(tmp_path / "srp_idx")
+    meta = build_ann_index(emb, srp_path, method="srp", n_planes=6)
+    got = ann_topk_indexed(spark, srp_path, meta, q, k=10, multiprobe_hamming=1)
+    want = srp_topk(emb, q, k=10, n_planes=6, multiprobe_hamming=1)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # partition pruning visible in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+
+    ivf_path = str(tmp_path / "ivf_idx")
+    meta2 = build_ann_index(emb, ivf_path, method="ivf", n_centroids=8)
+    got2 = ann_topk_indexed(spark, ivf_path, meta2, q, k=10, nprobe=2)
+    want2 = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=2)
+    assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
