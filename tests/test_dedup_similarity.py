@@ -323,3 +323,29 @@ def test_stored_ann_index(spark, tmp_path):
     got2 = ann_topk_indexed(spark, ivf_path, meta2, q, k=10, nprobe=2)
     want2 = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=2)
     assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
+
+
+def test_ann_recall_floor(spark):
+    """Recall@10 of the bucketed searches vs the exact scan on the fixture
+    embeddings — deterministic data + deterministic methods give a fixed
+    recall; the floor catches bucketing regressions (a broken bucket hash
+    would crater recall to ~0)."""
+    from siteone_crawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        srp_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = [r["embedding"] for r in emb.filter(F.col("vec_id") < 5).collect()]
+    srp_hits = ivf_hits = 0
+    for qv in queries:
+        qv = [float(x) for x in qv]
+        exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+        srp = {r["vec_id"] for r in srp_topk(emb, qv, k=10, n_planes=6, multiprobe_hamming=2).collect()}
+        ivf = {r["vec_id"] for r in ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=4).collect()}
+        srp_hits += len(exact & srp)
+        ivf_hits += len(exact & ivf)
+    # 50 relevant results across 5 queries; generous multiprobe/nprobe
+    assert srp_hits / 50 >= 0.3, srp_hits
+    assert ivf_hits / 50 >= 0.4, ivf_hits
