@@ -622,7 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_knn_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SRP/LSH-bucketed approximate nearest neighbors (scale path).
-        No SQL oracle (bucketing is engine-specific); rows-only check."""
+        Full DuckDB twin in oracle_sql() replicates the signed-random-
+        projection buckets and multiprobe."""
         from siteone_crawler_spark.operators.similarity import srp_topk
 
         _register(spark, sf_dir)

@@ -168,39 +168,32 @@ def run_queries(spark) -> dict:
 
 
 # ------------------------------------------------------------- child protocol
-def _child(mode: str, cores: int, size: int) -> None:
+def _child(mode: str, cores: int, size: int, n_runs: int = 1) -> None:
     # warm the JVM + python workers with a small run of the same shape, then
-    # take the best of N measured runs (this host's throughput is noisy)
+    # emit ALL measured runs (the parent aggregates best-of across children)
     if mode == "wave":
         wave_bench(cores, max(size // 20, 5000))
-        # shared-tenancy host throughput is noisy (single-run draws vary
-        # up to +-40% minutes apart) — report best-of-N per side as the
-        # quiet-host estimate (noise only ever ADDS time, so the minimum
-        # converges to the true capability); the short hi runs afford an
-        # extra draw
-        n_runs = 3 if cores >= 8 else 2
         runs = [wave_bench(cores, size) for _ in range(n_runs)]
-        best = max(runs, key=lambda r: r["urls_per_sec"])
-        best["all_runs_sec"] = [r["sec"] for r in runs]
-        print(json.dumps(best))
+        print(json.dumps({"runs": runs}))
     else:
         crawl_bench(cores, max(size // 10, 5000), 500)
         print(json.dumps(crawl_bench(cores, size, CRAWL_SEEDS)))
 
 
-def _spawn(mode: str, cores: int, size: int, pin: bool = False) -> dict:
+def _spawn(mode: str, cores: int, size: int, pin: bool = False, n_runs: int = 1) -> dict:
     """Run one bench child. With pin=True the child is CPU-affined to
     cores + 2 CPUs (executor cores + a driver allotment): local[N] only
     bounds TASK slots — JVM GC/netty/Arrow pools size by HOST cpu count
     (32), so an unpinned local[2] leaks auxiliary work onto 30 idle CPUs
     and overstates small-cluster throughput. Pinning models an N-core
     executor plus a driver node, the thing the N-vs-4N rule compares."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--child", mode, str(cores), str(size)]
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", mode, str(cores),
+           str(size), str(n_runs)]
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores + 1}"] + cmd
     out = subprocess.run(
         cmd,
-        capture_output=True, text=True, timeout=3000,
+        capture_output=True, text=True, timeout=4800,
         cwd=REPO,
     )
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
@@ -209,15 +202,42 @@ def _spawn(mode: str, cores: int, size: int, pin: bool = False) -> dict:
     return json.loads(lines[-1])
 
 
+def _wave_side(runs: list) -> dict:
+    """Best-of-N summary for one parallelism level: noise on this
+    shared-tenancy host only ever ADDS time, so the fastest draw is the
+    quiet-host estimate; all draw times are recorded for auditability."""
+    best = max(runs, key=lambda r: r["urls_per_sec"])
+    best = dict(best)
+    best["all_runs_sec"] = [r["sec"] for r in runs]
+    return best
+
+
 def main() -> None:
     # N vs 4N parallelism. This host delivers ~linear CPU only up to ~8
     # concurrent procs (SMT/steal ceiling measured via a pure-multiprocessing
     # md5 probe: 32 procs get ~16 effective cores), so the honest 4x-core
     # scaling pair is local[2] vs local[8]; BENCH_SCALE_HI can raise it.
+    #
+    # Noise protocol: single-run draws vary up to +-40% minutes apart, so a
+    # 2-3 draw best-of cannot resolve a 0.74-vs-0.80 efficiency question.
+    # Take BENCH_WAVE_DRAWS (default 4) symmetric draws per side, INTERLEAVED
+    # lo/hi at child granularity so slow host phases hit both sides equally,
+    # each child CPU-pinned (see _spawn) and reporting 2 runs per warmed JVM.
     hi_cores = int(os.environ.get("BENCH_SCALE_HI", "8"))
     lo_cores = max(2, hi_cores // 4)
-    lo = _spawn("wave", lo_cores, WAVE_FRONTIER)
-    hi = _spawn("wave", hi_cores, WAVE_FRONTIER)
+    draws = int(os.environ.get("BENCH_WAVE_DRAWS", "4"))
+    per_child = 2
+    lo_runs: list = []
+    hi_runs: list = []
+    while len(lo_runs) < draws or len(hi_runs) < draws:
+        n_lo = min(per_child, draws - len(lo_runs))
+        n_hi = min(per_child, draws - len(hi_runs))
+        if n_lo > 0:
+            lo_runs += _spawn("wave", lo_cores, WAVE_FRONTIER, pin=True, n_runs=n_lo)["runs"]
+        if n_hi > 0:
+            hi_runs += _spawn("wave", hi_cores, WAVE_FRONTIER, pin=True, n_runs=n_hi)["runs"]
+    lo = _wave_side(lo_runs)
+    hi = _wave_side(hi_runs)
     efficiency = round((hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi_cores / lo_cores), 3)
     crawl = _spawn("crawl", CPUS, CRAWL_DOCS)
 
@@ -257,13 +277,18 @@ def _write_baseline_md(lo: dict, hi: dict, eff: float, crawl: dict) -> None:
             f"| local[{hi['cores']}] | {hi['frontier']} | {hi['candidates']} | {hi['sec']} | {hi['urls_per_sec']} |\n\n"
             f"**Scaling efficiency (throughput ratio / core ratio): {eff}** "
             "(target >= 0.8 per BASELINE.json)\n\n"
-            "Methodology: each measurement runs in a fresh subprocess (JVM\n"
-            "isolation), warms up with a 1/20-size run of the same shape, and\n"
-            "reports the best of N timed runs (2 at local[2], 3 at the\n"
-            "shorter local[8]) as the quiet-host estimate: noise on this\n"
-            "shared-tenancy host only ever ADDS time, and single-run draws\n"
-            "vary up to +-40% between identical runs minutes apart (all\n"
-            "per-run times are recorded in the JSON line). local[2] vs\n"
+            "Methodology: measurements run in fresh subprocesses (JVM\n"
+            "isolation), each CPU-pinned to cores+2 CPUs (executor cores +\n"
+            "a fixed driver allotment — local[N] only bounds task slots;\n"
+            "unpinned, JVM GC/netty/Arrow pools leak onto all 32 host CPUs\n"
+            "and overstate small-core throughput). Each child warms up with\n"
+            "a 1/20-size run of the same shape, then reports 2 timed runs;\n"
+            "children INTERLEAVE lo/hi so host drift hits both sides\n"
+            f"equally, for {len(lo['all_runs_sec'])} symmetric draws per\n"
+            "side, best-of reported as the quiet-host estimate: noise on\n"
+            "this shared-tenancy host only ever ADDS time, and single-run\n"
+            "draws vary up to +-40% between identical runs minutes apart\n"
+            "(all per-run times are recorded in the JSON line). local[2] vs\n"
             "local[8] is the 4x pair because a pure-multiprocessing CPU probe\n"
             "shows the box delivers only ~16 effective cores at 32 procs\n"
             "(SMT/steal ceiling) — 8->32 would measure the hypervisor, not\n"
@@ -278,6 +303,7 @@ def _write_baseline_md(lo: dict, hi: dict, eff: float, crawl: dict) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        _child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        _child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+               int(sys.argv[5]) if len(sys.argv) > 5 else 1)
     else:
         main()

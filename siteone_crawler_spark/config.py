@@ -65,6 +65,8 @@ class CrawlConfig:
     politeness_salts: int = 1  # >1: split a hot host's window across salts
     max_waves: int = 0  # 0 = until frontier empty
     single_foreign_page: bool = False  # P13: no <a href> from foreign-d2l pages
+    # --resolve overrides, curl syntax "domain:port:ip" (crawler.rs:179-191)
+    resolve: tuple[str, ...] = ()
 
     def __post_init__(self):
         # F13: accept the reference's delimited-PCRE config syntax
@@ -78,6 +80,17 @@ class CrawlConfig:
             "ignore_regex",
             tuple(normalize_pcre_pattern(p) for p in self.ignore_regex),
         )
+
+    def resolve_overrides(self) -> dict[str, str]:
+        """--resolve entries -> {"domain:port": ip} (crawler.rs:180-190:
+        same regex, malformed entries silently dropped, last wins). The
+        dict is config-sized — broadcast/literal-map it, never join."""
+        out: dict[str, str] = {}
+        for entry in self.resolve:
+            m = re.match(r"^([^:]+):([0-9]+):(.+)$", entry)
+            if m:
+                out[f"{m.group(1)}:{m.group(2)}"] = m.group(3)
+        return out
 
     def extract_flags(self):
         """Bridge to the extraction-layer toggles (operators/extract.py)."""

@@ -76,6 +76,7 @@ SKIPPED_SCHEMA = (
     " parent_seq long, offset int"
 )
 EVENTS_SCHEMA = "basename string, seq long"
+BN_STATE_SCHEMA = "basename string, evt_seqs array<bigint>, n_events long"
 METRICS_SCHEMA = "wave int, stage string, rows long"
 LINEAGE_SCHEMA = "wave int, table string, file string, n_rows long, n_bytes long"
 
@@ -159,12 +160,16 @@ class CrawlEngine:
         self._wave_seq_start: dict[int, int] = {}
         self._min_pending_seq: int | None = None
         self._bloom_ready = False
-        # basename -> sorted non-200 event seqs. BOUNDED state: once a
-        # basename accumulates max_non200 events the pre-check short-circuits
-        # further fetches to -6 (which are NOT events), so each basename holds
-        # at most ~max_non200 (+ wave concurrency margin) entries — reference
-        # semantics (crawler.rs:506-525, 1440-1451) make this driver-safe.
-        self._basename_events: dict[str, list[int]] = {}
+        # basename-breaker state lives in a checkpointed Spark table
+        # (basename string, evt_seqs array<bigint>, n_events long), NOT on
+        # the driver: a 404 long tail of distinct failing basenames is
+        # unbounded at 100x scale. evt_seqs keeps only the smallest
+        # max_non200+1 event seqs (the n-th smallest trips the breaker,
+        # crawler.rs:506-525); n_events saturates at max_non200+1 (every
+        # comparison the breaker makes is `> max_non200`). _bn_state_max
+        # caches max(n_events) so no-trippable waves skip all breaker joins.
+        self._bn_state: DataFrame | None = None
+        self._bn_state_max = 0
 
     # ------------------------------------------------------------------ run
     def run(
@@ -260,8 +265,7 @@ class CrawlEngine:
         self._wave_seq_start[0] = 0
         self.n_enqueued = n
         if n >= self.seen.bloom_min_keys:
-            self.seen.bloom.add_keys(self.seen.keys.toPandas())
-            self._bloom_ready = True
+            self._bloom_absorb(self.seen.keys, n)
 
     def _restore_state(self, last_wave: int) -> None:
         # frontier rows discovered while processing last_wave live at index
@@ -285,7 +289,22 @@ class CrawlEngine:
         self._wave_seq_start[last_wave + 1] = self.n_enqueued - self.store.count_rows(
             "frontier", last_wave + 1
         )
-        for w in range(last_wave + 1):
+        # basename-breaker state: newest checkpointed table at or before
+        # last_wave; waves after it are replayed (pre-state-table checkpoints
+        # replay everything — the merge chain reproduces the same table)
+        w0 = -1
+        for w in range(last_wave, -1, -1):
+            if _os.path.isdir(self.store._wave_dir("basename_events", w)):
+                w0 = w
+                break
+        if w0 >= 0:
+            self._bn_state = self.store.read_wave(
+                "basename_events", w0, BN_STATE_SCHEMA
+            )
+            self._bn_state_max = int(
+                self._bn_state.agg(F.max("n_events")).first()[0] or 0
+            )
+        for w in range(w0 + 1, last_wave + 1):
             self._absorb_events(w)
         bloom_rows = self.store.read_wave(
             "blooms", last_wave + 1, "bucket int, bits binary"
@@ -299,8 +318,7 @@ class CrawlEngine:
             )
             self._bloom_ready = True
         elif self.n_enqueued >= self.seen.bloom_min_keys:
-            self.seen.bloom.add_keys(keys.toPandas())
-            self._bloom_ready = True
+            self._bloom_absorb(keys, self.n_enqueued)
 
     def _pending(self, wave: int) -> DataFrame:
         newly = self.store.read_wave("frontier", wave, FRONTIER_SCHEMA)
@@ -732,24 +750,27 @@ class CrawlEngine:
                 .select("url_key")
                 .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
             )
-            # driver build while the key SLICE is modest (the full set on the
-            # first build, just this wave's new keys after); distributed
-            # per-bucket build (operators/seen.build_bloom_blobs) above that —
-            # a 10^10-key seen set must never toPandas through the driver
             slice_rows = n_new if self._bloom_ready else self.n_enqueued
-            if slice_rows < 2_000_000:
-                self.seen.bloom.add_keys(src.toPandas())
-            else:
-                from .operators.seen import build_bloom_blobs
-
-                for b_, blob in build_bloom_blobs(src, self.seen.bloom.m, self.seen.bloom.k):
-                    self.seen.bloom.merge_blob(b_, blob)
-            self._bloom_ready = True
+            self._bloom_absorb(src, slice_rows)
             bloom_df = self.spark.createDataFrame(
                 self.seen.bloom.to_rows(), "bucket int, bits binary"
             )
             self.store.write_table("blooms", wave, bloom_df)
         return n_new
+
+    def _bloom_absorb(self, src: DataFrame, slice_rows: int) -> None:
+        """Fold a key slice into the bloom. Driver build while the slice is
+        modest; distributed per-bucket build (operators/seen.build_bloom_blobs)
+        above that — a 10^10-key seen set must never toPandas through the
+        driver. Shared by the per-wave path, external seeding, and resume."""
+        if slice_rows < 2_000_000:
+            self.seen.bloom.add_keys(src.select("url_key", "bucket").toPandas())
+        else:
+            from .operators.seen import build_bloom_blobs
+
+            for b_, blob in build_bloom_blobs(src, self.seen.bloom.m, self.seen.bloom.k):
+                self.seen.bloom.merge_blob(b_, blob)
+        self._bloom_ready = True
 
     @staticmethod
     def _nfiles(n_rows: int) -> int:
@@ -761,64 +782,97 @@ class CrawlEngine:
     # ------------------------------------------------------------ helpers
     def _absorb_events(self, wave: int) -> None:
         """Fold the wave's non-200 fetches (excluding -6 short-circuits) into
-        the driver-held basename event map, straight from the just-written
-        parquet columns (no Spark job; state is bounded, see __init__).
-        Root URLs (basename None) and index.html/index.htm/index are never
-        counted (crawler.rs:1440-1451)."""
+        the checkpointed basename-event state table (crawler.rs:1440-1451:
+        root URLs and index.* never count). The all-200 common case is
+        detected from parquet status-column footers driver-side (no Spark
+        job, no state write); eventful waves merge DISTRIBUTED — driver
+        memory stays O(1) even under a 404 long tail of distinct failing
+        basenames. Per basename the wave contributes at most max_non200+1
+        events (the precheck -6-short-circuits the rest), so the collect_list
+        below is O(n) per key by construction."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        from .functions.urls import BREAKER_EXEMPT_BASENAMES, base_name
+        from .functions.urls import BREAKER_EXEMPT_BASENAMES
 
         d = self.store._wave_dir("visited", wave)
         if not os.path.isdir(d):
             return
+        eventful = False
         for fn in os.listdir(d):
             if not fn.endswith(".parquet"):
                 continue
-            p = os.path.join(d, fn)
-            # status column first: the all-200 common case (steady-state
-            # benches, healthy sites) skips the expensive url/path read —
-            # keeps per-wave driver time flat as the wave grows
-            st = pq.read_table(p, columns=["status_code"])["status_code"]
+            st = pq.read_table(os.path.join(d, fn), columns=["status_code"])[
+                "status_code"
+            ]
             mask = pc.and_(pc.not_equal(st, 200), pc.not_equal(st, -6))
-            if pc.sum(mask).as_py() in (0, None):
-                continue
-            t = pq.read_table(p, columns=["url", "path", "seq", "status_code"])
-            mask = pc.and_(
-                pc.not_equal(t["status_code"], 200), pc.not_equal(t["status_code"], -6)
-            )
-            sub = t.filter(mask)
-            for url, path, seq in zip(
-                sub["url"].to_pylist(), sub["path"].to_pylist(), sub["seq"].to_pylist()
-            ):
-                query = url.split("?", 1)[1] if url and "?" in url else ""
-                bn = base_name(path or "", query)
-                if bn is None or bn in BREAKER_EXEMPT_BASENAMES:
-                    continue
-                self._basename_events.setdefault(bn, []).append(int(seq))
-        # only the first max_non200+1 event seqs per basename are load-bearing
-        # (the breaker trips on the n-th smallest; counts saturate at n+1), so
-        # the per-basename lists stay O(n) even under a 404 long tail
+            if pc.sum(mask).as_py() not in (0, None):
+                eventful = True
+                break
+        if not eventful:
+            return
         cap = self.config.max_non200_per_basename + 1
-        for bn in self._basename_events:
-            self._basename_events[bn].sort()
-            del self._basename_events[bn][cap:]
+        empty = F.array().cast("array<bigint>")
+        ev = (
+            self.store.read_wave("visited", wave, VISITED_SCHEMA)
+            .filter(~F.col("status_code").isin(200, -6))
+            .withColumn("basename", _basename_expr(F.col("url"), F.col("path")))
+            .filter(
+                F.col("basename").isNotNull()
+                & ~F.col("basename").isin(*BREAKER_EXEMPT_BASENAMES)
+            )
+            .groupBy("basename")
+            .agg(
+                F.slice(F.sort_array(F.collect_list("seq")), 1, cap).alias("new_seqs"),
+                F.count(F.lit(1)).alias("new_n"),
+            )
+        )
+        if self._bn_state is None:
+            merged = ev.select(
+                "basename",
+                F.col("new_seqs").cast("array<bigint>").alias("evt_seqs"),
+                F.least(F.col("new_n"), F.lit(cap)).cast("long").alias("n_events"),
+            )
+        else:
+            # seqs only grow wave-over-wave, so sorted-concat + slice keeps
+            # exactly the globally smallest cap event seqs
+            merged = ev.join(self._bn_state, "basename", "full_outer").select(
+                "basename",
+                F.slice(
+                    F.sort_array(
+                        F.concat(
+                            F.coalesce(F.col("evt_seqs"), empty),
+                            F.coalesce(F.col("new_seqs").cast("array<bigint>"), empty),
+                        )
+                    ),
+                    1,
+                    cap,
+                ).alias("evt_seqs"),
+                F.least(
+                    F.coalesce(F.col("n_events"), F.lit(0))
+                    + F.coalesce(F.col("new_n"), F.lit(0)),
+                    F.lit(cap),
+                )
+                .cast("long")
+                .alias("n_events"),
+            )
+        self.store.write_table("basename_events", wave, merged)
+        self._bn_state = self.store.read_wave("basename_events", wave, BN_STATE_SCHEMA)
+        self._bn_state_max = int(
+            self._bn_state.agg(F.max("n_events")).first()[0] or 0
+        )
 
     def _events_agg(self) -> DataFrame | None:
-        """P4's broadcast side: (basename, evt_seqs) from the driver map.
-        Only basenames with >= n events can ever trip the enqueue-side
+        """P4's broadcast side: (basename, evt_seqs) straight from the state
+        table. Only basenames with >= n events can ever trip the enqueue-side
         breaker, so the broadcast carries just those — a 404 long tail of
         once-failing basenames never inflates it."""
         n = self.config.max_non200_per_basename
-        rows = [
-            (bn, seqs)
-            for bn, seqs in sorted(self._basename_events.items())
-            if len(seqs) >= n
-        ]
-        if not rows:
+        if self._bn_state is None or self._bn_state_max < n:
             return None
-        return self.spark.createDataFrame(rows, "basename string, evt_seqs array<bigint>")
+        return self._bn_state.filter(F.col("n_events") >= n).select(
+            "basename", "evt_seqs"
+        )
 
     def _apply_breaker_precheck(self, raw_fetch: DataFrame) -> DataFrame:
         """Process-time breaker (crawler.rs:506-525): rows whose basename has
@@ -834,33 +888,47 @@ class CrawlEngine:
 
         cfg = self.config
         n = cfg.max_non200_per_basename
-        prev = {bn: len(s) for bn, s in self._basename_events.items()}
         exempt = list(BREAKER_EXEMPT_BASENAMES)
 
         # root URLs (basename NULL) and index.* never count and never trip
         interest = F.col("basename").isNotNull() & ~F.col("basename").isin(*exempt)
-        cond = F.col("fetch_status") != 200
-        # all-200 rows only matter when their basename is ALREADY at the
-        # threshold (prev >= n) — below it they can't trip without a non-200
-        # this wave, and those rows are caught by the status arm
-        hot = [bn for bn, c in prev.items() if c >= n]
-        if hot:
-            cond = cond | F.col("basename").isin(*hot)
-        counts = (
-            raw_fetch.filter(interest & cond)
+        # per-basename non-200 counts this wave — stays a distributed
+        # aggregate (and usefully doubles as the fetch-cache materialization);
+        # ONLY basenames that can actually trip this wave are collected, so
+        # driver traffic is O(trippable), not O(distinct failing basenames)
+        bad = (
+            raw_fetch.filter(interest & (F.col("fetch_status") != 200))
             .groupBy("basename")
-            .agg(F.sum(F.when(F.col("fetch_status") != 200, 1).otherwise(0)).alias("bad"))
-            .collect()
+            .agg(F.count(F.lit(1)).alias("bad"))
         )
-        # a row trips only when its PRIOR event count strictly exceeds n
-        # (crawler.rs:507-509 uses `count > max`) — risk iff prev+bad could
-        risky = sorted(
-            r["basename"] for r in counts if prev.get(r["basename"], 0) + r["bad"] > n
-        )
+        prev_bc: dict[str, int] = {}
+        if self._bn_state is not None:
+            st = self._bn_state.select("basename", "n_events")
+            # a row trips only when its PRIOR event count strictly exceeds n
+            # (crawler.rs:507-509 uses `count > max`) — risk iff prev+bad can
+            # cross that bar this wave
+            crossed = (
+                bad.join(st, "basename", "left")
+                .filter(F.coalesce(F.col("n_events"), F.lit(0)) + F.col("bad") > n)
+                .select(
+                    "basename",
+                    F.coalesce(F.col("n_events"), F.lit(0)).alias("prev"),
+                )
+                .collect()
+            )
+            for r in crossed:
+                prev_bc[r["basename"]] = int(r["prev"])
+            # already-tripped basenames (prior count alone > n) short-circuit
+            # even all-200 rows; the n_events filter bounds this to trippables
+            if self._bn_state_max > n:
+                for r in st.filter(F.col("n_events") > n).collect():
+                    prev_bc[r["basename"]] = int(r["n_events"])
+        else:
+            for r in bad.filter(F.col("bad") > n).collect():
+                prev_bc[r["basename"]] = 0
+        risky = sorted(prev_bc)
         if not risky:
             return raw_fetch.withColumn("status", F.col("fetch_status"))
-
-        prev_bc = {bn: prev.get(bn, 0) for bn in risky}
         safe_rows = raw_fetch.filter(
             F.col("basename").isNull() | ~F.col("basename").isin(*risky)
         ).withColumn("status", F.col("fetch_status"))
@@ -998,12 +1066,25 @@ class CrawlEngine:
         # index K+1 — read one index past the last processed wave.
         # skipped is stored RAW (every occurrence); first-wins is the
         # read-time view: earliest (wave, parent_seq, offset) per url_key.
+        # min_by hash-aggregate, not a window: partial aggregation map-side,
+        # no per-key sort — the same transform the frontier dedup uses
         raw_sk = self.store.read_all("skipped", last_wave + 1, SKIPPED_SCHEMA)
-        w = W.partitionBy("url_key").orderBy("wave", "parent_seq", "offset")
         sk = (
-            raw_sk.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "parent_seq", "offset")
+            raw_sk.groupBy("url_key")
+            .agg(
+                F.min_by(
+                    F.struct("url", "reason", "source_uq_id", "source_attr", "wave"),
+                    F.struct("wave", "parent_seq", "offset"),
+                ).alias("__r")
+            )
+            .select(
+                F.col("__r.url").alias("url"),
+                "url_key",
+                F.col("__r.reason").alias("reason"),
+                F.col("__r.source_uq_id").alias("source_uq_id"),
+                F.col("__r.source_attr").alias("source_attr"),
+                F.col("__r.wave").alias("wave"),
+            )
         )
         return {
             "visited": self.store.read_all("visited", last_wave, VISITED_SCHEMA),

@@ -150,13 +150,45 @@ def near_duplicates_minhash(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over normalized tokens (numpy inside an Arrow batch).
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    native: bool = False,
+) -> DataFrame:
+    """64-bit SimHash over normalized tokens.
 
-    Each token hashes to 64 bits (md5 low half); bit i votes +1/-1; the
-    fingerprint is the sign vector. Near-dups have small Hamming distance.
-    Not SQL-oracle-expressible (bit voting) — covered by unit tests instead.
+    Each token hashes to 64 bits; bit i votes +1/-1; the fingerprint is the
+    sign vector. Near-dups have small Hamming distance.
+
+    Two token-hash kernels:
+    - default (md5 low half, numpy inside an Arrow batch): reproducible in
+      DuckDB, so the driver oracle can re-derive the bit voting in SQL;
+    - native=True (xxhash64, pure Catalyst lambda aggregate): zero Python in
+      the plan — the 100-TB path. Fingerprints differ between kernels (they
+      hash differently) but near-dup PAIRS agree on real near-dups
+      (tests/test_dedup.py pins this on a fixture corpus).
     """
+    if native:
+        votes = F.expr(
+            """
+            aggregate(
+              transform(__toks, t -> xxhash64(t)),
+              array_repeat(0L, 64),
+              (acc, h) -> transform(
+                sequence(0, 63),
+                i -> element_at(acc, i + 1)
+                     + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END),
+              acc -> aggregate(
+                transform(sequence(0, 63),
+                          i -> IF(element_at(acc, i + 1) > 0, shiftleft(1L, i), 0L)),
+                0L, (s, v) -> s | v)
+            )"""
+        )
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            norm_tokens(F.col(text_col)).alias("__toks"),
+        ).select("doc_id", F.coalesce(votes, F.lit(0)).alias("simhash"))
 
     @F.pandas_udf("long")
     def simhash_udf(token_arrays: pd.Series) -> pd.Series:
@@ -202,7 +234,10 @@ def simhash_near_pairs(
     ~150k docs in an average 16-bit bucket — pairing those is 10^10 rows
     per bucket). An over-full bucket means that sub-band is uninformative
     for its members; at scale, re-block them with more/permuted bands or
-    route the mega-cluster to exact dedup. Pass None to disable the guard."""
+    route the mega-cluster to exact dedup. Pass None to disable the guard.
+
+    kw forwards to simhash64 — pass native=True for the xxhash64 all-Catalyst
+    fingerprint kernel (the at-scale default; md5 is for oracle parity)."""
     sh = simhash64(docs, **kw)
     blocks = sh.select(
         "doc_id",

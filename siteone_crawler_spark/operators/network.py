@@ -103,6 +103,41 @@ def synth_probes(targets: DataFrame, now_s: int) -> DataFrame:
     )
 
 
+def apply_resolve_overrides(probes: DataFrame, overrides: dict[str, str]) -> DataFrame:
+    """--resolve forced-IP overrides (crawler.rs:132-133, 536-538): a
+    host:port present in the override map skips resolution entirely — its
+    address becomes the forced IP (ipv4 vs ipv6 by shape, like curl) and the
+    CNAME chain is empty. `overrides` comes from CrawlConfig.resolve_overrides
+    and is config-sized, so it compiles to a literal map (pure codegen, no
+    join, no broadcast variable)."""
+    if not overrides:
+        return probes
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(overrides.items()) for x in kv]
+    )
+    key = F.concat_ws(":", F.col("host"), F.col("port").cast("string"))
+    forced = mapping[key]
+    is6 = forced.contains(":")
+    empty = F.array().cast("array<string>")
+    return (
+        probes.withColumn(
+            "ipv4",
+            F.when(forced.isNotNull() & ~is6, F.array(forced))
+            .when(forced.isNotNull(), empty)
+            .otherwise(F.col("ipv4")),
+        )
+        .withColumn(
+            "ipv6",
+            F.when(forced.isNotNull() & is6, F.array(forced))
+            .when(forced.isNotNull(), empty)
+            .otherwise(F.col("ipv6")),
+        )
+        .withColumn(
+            "cnames", F.when(forced.isNotNull(), empty).otherwise(F.col("cnames"))
+        )
+    )
+
+
 def dns_stats(probes: DataFrame) -> DataFrame:
     """The DNS SuperTable: per host, the resolved-domain chain and record
     counts (dns_analyzer.rs:50-120 — chain = host + CNAMEs)."""

@@ -83,7 +83,7 @@ class CheckpointStore:
 
     def read_wave(self, table: str, wave: int, schema: str | None = None) -> DataFrame:
         d = self._wave_dir(table, wave)
-        if not os.path.isdir(d):
+        if not self._has_parquet(d):
             if schema is None:
                 raise FileNotFoundError(d)
             return self.spark.createDataFrame([], schema)
@@ -158,7 +158,7 @@ class CheckpointStore:
         dirs = [
             self._wave_dir(table, w)
             for w in range(upto_wave + 1)
-            if os.path.isdir(self._wave_dir(table, w))
+            if self._has_parquet(self._wave_dir(table, w))
         ]
         if not dirs:
             return self.spark.createDataFrame([], schema)
@@ -168,13 +168,25 @@ class CheckpointStore:
             .select(*columns)
         )
 
+    @staticmethod
+    def _has_parquet(d: str) -> bool:
+        """True when the dir holds at least one parquet file (possibly under
+        hive-partition subdirs). An empty-DataFrame write creates the dir but
+        zero files — reading such dirs alone fails schema inference."""
+        if not os.path.isdir(d):
+            return False
+        for _root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read_all(self, table: str, upto_wave: int, schema: str | None = None) -> DataFrame:
         """Union of committed waves 0..upto_wave (single multi-path parquet
         scan — one job, partition-prunable)."""
         dirs = [
             self._wave_dir(table, w)
             for w in range(upto_wave + 1)
-            if os.path.isdir(self._wave_dir(table, w))
+            if self._has_parquet(self._wave_dir(table, w))
         ]
         if not dirs:
             if schema is None:

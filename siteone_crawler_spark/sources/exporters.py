@@ -346,3 +346,141 @@ def text_output(
     for name, rows in out["tables"].items():
         lines.append(_text_table(name, rows))
     return "\n".join(lines)
+
+
+# ------------------------------------------------------- mailer sink (S11)
+# Reimplements the observable behavior of export/mailer_exporter.rs:85-160
+# (subject template %domain%/%date%/%datetime%, inline table styles injected
+# at <body>, @your-hostname.com sender resolution). SMTP itself is a network
+# transport this sandbox cannot exercise — the sink's file twin writes an
+# .eml; a deployment swaps `transport` for a real SMTP sender of the same
+# message dict.
+_EMAIL_TABLE_STYLE = (
+    '<body style="font-family: Arial, Helvetica, sans-serif;">\n'
+    "<style>\n"
+    "table { border-collapse: collapse; }\n"
+    "body table, body table th, body table td {\n"
+    "  border: 1px solid #555555; padding: 3px !important;\n"
+    "  vertical-align: top; text-align: left;\n"
+    "}\n"
+    "</style>\n"
+)
+
+
+def style_html_body_for_email(html: str) -> str:
+    """Inline table styles for email clients (mailer_exporter.rs:106-121:
+    a style block replaces the bare <body> tag)."""
+    return html.replace("<body>", _EMAIL_TABLE_STYLE)
+
+
+def build_email(
+    report_html: str,
+    initial_host: str,
+    mail_to: tuple[str, ...],
+    mail_from: str = "crawler@your-hostname.com",
+    mail_from_name: str = "Crawler Report",
+    subject_template: str = "Crawler report for %domain% (%date%)",
+    hostname: str | None = None,
+    now=None,
+) -> dict:
+    """Assemble the report email (mailer_exporter.rs:123-152): subject from
+    the %domain%/%date%/%datetime% template, sender's @your-hostname.com
+    placeholder resolved to the real hostname, styled HTML report attached."""
+    import datetime
+    import socket
+
+    if not mail_to:
+        raise ValueError("No recipients specified for email")
+    now = now or datetime.datetime.now()
+    host = initial_host or "unknown"
+    subject = (
+        subject_template.replace("%domain%", host)
+        .replace("%date%", now.strftime("%Y-%m-%d"))
+        .replace("%datetime%", now.strftime("%Y-%m-%d %H:%M"))
+    )
+    sender = mail_from.replace(
+        "@your-hostname.com", "@" + (hostname or socket.gethostname())
+    )
+    body = (
+        "Hello,<br><br>\n"
+        f"attached is the crawl report for <b>{host}</b>: redirects, 404s,"
+        " and findings across accessibility, best practices, performance"
+        " and security.<br><br>\n"
+        "The report is an HTML file — open it in a JavaScript-enabled"
+        " browser for table search and sorting.<br><br>\n"
+        "Best regards,<br>the crawler\n"
+    )
+    return {
+        "from": f"{mail_from_name} <{sender}>",
+        "to": list(mail_to),
+        "subject": subject,
+        "body_html": body,
+        "attachment_name": f"report-{host}.html",
+        "attachment_html": style_html_body_for_email(report_html),
+    }
+
+
+def write_eml(email: dict, path: str) -> str:
+    """File twin of the SMTP transport: serialize the message dict as a
+    MIME email on disk (the shape a real sender would put on the wire)."""
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = email["from"]
+    msg["To"] = ", ".join(email["to"])
+    msg["Subject"] = email["subject"]
+    msg.set_content("HTML report attached.")
+    msg.add_alternative(email["body_html"], subtype="html")
+    msg.add_attachment(
+        email["attachment_html"].encode("utf-8"),
+        maintype="text",
+        subtype="html",
+        filename=email["attachment_name"],
+    )
+    with open(path, "wb") as f:
+        f.write(bytes(msg))
+    return path
+
+
+# ------------------------------------------------------- upload sink (S11)
+def build_upload_payload(
+    report_html: str,
+    retention: str | None = None,
+    password: str | None = None,
+    version: str = "spark",
+    platform: str | None = None,
+) -> bytes:
+    """The upload exporter's wire payload (upload_exporter.rs:59-110):
+    gzip-compressed HTML percent-encoded into an x-www-form-urlencoded body
+    with version/platform/retention/password fields. Gzip mtime pinned to 0
+    so the payload is deterministic. The POST itself is a network call —
+    write_upload_payload is its file twin; a deployment POSTs these bytes to
+    the endpoint with Content-Type: application/x-www-form-urlencoded."""
+    import gzip
+    import sys
+    import urllib.parse
+
+    compressed = gzip.compress(report_html.encode("utf-8"), mtime=0)
+    enc = urllib.parse.quote_from_bytes(compressed, safe="")
+    parts = [f"htmlBody={enc}"]
+    form = [("version", version), ("platform", platform or sys.platform)]
+    if retention:
+        form.append(("retention", retention))
+    if password and password.strip():
+        form.append(("password", password.strip()))
+    for k, v in form:
+        parts.append(
+            f"{urllib.parse.quote(k, safe='')}={urllib.parse.quote(v, safe='')}"
+        )
+    return "&".join(parts).encode("ascii")
+
+
+def write_upload_payload(
+    report_html: str, path: str, endpoint: str = "", **kw
+) -> dict:
+    """File twin of the report upload POST. Returns the manifest a real
+    uploader would log (endpoint, payload path, size)."""
+    payload = build_upload_payload(report_html, **kw)
+    with open(path, "wb") as f:
+        f.write(payload)
+    return {"endpoint": endpoint, "path": path, "bytes": len(payload)}

@@ -269,3 +269,119 @@ def html_to_markdown_udf(**options):
         return pd.Series([conv.convert(b) if b is not None else None for b in body.tolist()])
 
     return to_md.asNondeterministic()
+
+
+# --------------------------------------------------- site-tree export (S10)
+RE_MD_LINK = re.compile(r"\[([^\]]*)\]\(([^)]+)\)")
+RE_MD_IMAGE = re.compile(r"!\[.*?\]\(.*?\)")
+RE_MD_LINKED_IMAGE = re.compile(r"\[!\[[^\]]*\]\([^\)]*\)\]\([^\)]*\)")
+RE_MD_EMPTY_LINK = re.compile(r"\[[^\]]*\]\(\)")
+RE_MD_EMPTY_LIST_ITEM = re.compile(r"(?m)^\s*[-*+]\s*$\n?")
+
+
+def normalize_markdown_content(
+    md: str,
+    replace_html_links_with_md: bool = True,
+    disable_images: bool = False,
+    ignore_regexes: tuple[str, ...] = (),
+) -> str:
+    """Post-conversion normalization (markdown_exporter.rs:312-457 observed
+    behavior): when exporting a full site, `.html` link targets become `.md`
+    (so inter-page links stay navigable inside the exported tree), images can
+    be stripped, and empty links / empty list items left behind by removals
+    are cleaned up."""
+    ignore = [re.compile(p) for p in ignore_regexes]
+
+    if replace_html_links_with_md:
+
+        def to_md_target(m: re.Match) -> str:
+            text, url = m.group(1), m.group(2)
+            if any(r.search(url) for r in ignore):
+                return m.group(0)
+            return f"[{text}]({url.replace('.html#', '.md#').replace('.html', '.md')})"
+
+        md = RE_MD_LINK.sub(to_md_target, md)
+    if disable_images:
+        md = RE_MD_LINKED_IMAGE.sub("", md)
+        md = RE_MD_IMAGE.sub("", md)
+    md = RE_MD_EMPTY_LINK.sub("", md)
+    md = RE_MD_EMPTY_LIST_ITEM.sub("", md)
+    return md
+
+
+def export_markdown_site(
+    html_docs,
+    out_dir: str,
+    initial_url: str,
+    excluded_selectors: list[str] | None = None,
+    disable_images: bool = False,
+    preserve_url_structure: bool = False,
+) -> int:
+    """S10's whole-site exporter (markdown_exporter.rs:147-299 behavior,
+    integration baseline tests/integration_crawl.rs:284-290): one .md file
+    per HTML page at its offline-converted path with `.html` swapped for
+    `.md`, inter-page links rewritten relative and re-targeted at the .md
+    twins; non-HTML assets are stored raw at their converted paths.
+
+    Same executor-side mapInPandas shape as export_offline_site — each
+    partition writes its own files to the shared filesystem; only the
+    per-file manifest rows return to the driver. Expects columns
+    (doc_id, content_type, body). Returns files written."""
+    import os
+
+    from .offline import (
+        convert_url_to_relative,
+        rewrite_content_for_offline,
+        safe_export_target,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    kw = dict(
+        preserve_url_structure=preserve_url_structure,
+        is_external_domain_allowed_for_crawling=lambda _h: True,
+    )
+
+    def write_partition(pdfs):
+        conv = HtmlToMarkdown(excluded_selectors=excluded_selectors)
+        for pdf in pdfs:
+            paths = []
+            for url, ct, body in zip(pdf["doc_id"], pdf["content_type"], pdf["body"]):
+                rel = convert_url_to_relative(initial_url, initial_url, url, **kw)
+                if rel.startswith(("http://", "https://", "#", "mailto:")):
+                    paths.append(None)
+                    continue
+                rel = rel.split("#", 1)[0]
+                is_html = (ct or "text/html").split(";")[0].strip() in (
+                    "text/html",
+                    "application/xhtml+xml",
+                )
+                # only .html-suffixed store paths become .md (reference
+                # store_file converts by stored extension, not content type —
+                # a .php page stores its offline-rewritten HTML unconverted)
+                to_md = is_html and rel.endswith(".html")
+                if to_md:
+                    rel = rel[: -len(".html")] + ".md"
+                target = safe_export_target(out_dir, rel)
+                if target is None:  # crafted ..-segments must not escape
+                    paths.append(None)
+                    continue
+                os.makedirs(os.path.dirname(target) or out_dir, exist_ok=True)
+                if is_html:
+                    content = rewrite_content_for_offline(
+                        body or "", url, initial_url, ct or "text/html", **kw
+                    )
+                    if to_md:
+                        content = normalize_markdown_content(
+                            conv.convert(content),
+                            replace_html_links_with_md=True,
+                            disable_images=disable_images,
+                        )
+                else:
+                    content = body or ""
+                with open(target, "w", encoding="utf-8") as f:
+                    f.write(content)
+                paths.append(rel)
+            yield pd.DataFrame({"url": pdf["doc_id"], "file_path": paths})
+
+    manifest = html_docs.mapInPandas(write_partition, "url string, file_path string")
+    return manifest.filter("file_path IS NOT NULL").count()

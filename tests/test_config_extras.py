@@ -136,3 +136,46 @@ def test_single_foreign_page_parity(spark, tmp_path):
     ]
     exp = [(t[0], t[1], t[4], t[6]) for t in sim.crawl_order]
     assert got == exp
+
+
+def test_resolve_overrides_parse():
+    """--resolve parsing (crawler.rs:180-190): curl domain:port:ip syntax,
+    malformed entries dropped, last wins."""
+    cfg = CrawlConfig(
+        resolve=(
+            "www.mydomain.tld:80:127.0.0.1",
+            "api.mydomain.tld:443:2001:db8::7",
+            "nonsense",
+            "www.mydomain.tld:80:10.0.0.9",
+        )
+    )
+    got = cfg.resolve_overrides()
+    assert got == {
+        "www.mydomain.tld:80": "10.0.0.9",
+        "api.mydomain.tld:443": "2001:db8::7",
+    }
+
+
+def test_resolve_overrides_probes(spark):
+    from siteone_crawler_spark.operators.network import (
+        apply_resolve_overrides,
+        synth_probes,
+    )
+
+    targets = spark.createDataFrame(
+        [("a.test", 443, 0), ("b.test", 443, 0), ("c.test", 443, 3)],
+        "host string, port int, __seed long",
+    )
+    probes = synth_probes(targets, 1_800_000_000)
+    over = CrawlConfig(
+        resolve=("a.test:443:10.1.2.3", "c.test:443:2001:db8::9")
+    ).resolve_overrides()
+    got = {
+        r["host"]: (r["ipv4"], r["ipv6"], r["cnames"])
+        for r in apply_resolve_overrides(probes, over).collect()
+    }
+    assert got["a.test"] == (["10.1.2.3"], [], [])
+    assert got["c.test"][0] != ["2001:db8::9"] and got["c.test"][1] == ["2001:db8::9"]
+    assert got["c.test"][2] == []
+    # non-overridden host keeps synthesized resolution
+    assert got["b.test"][0] and got["b.test"][0][0].startswith("192.0.2.")

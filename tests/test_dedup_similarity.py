@@ -67,6 +67,31 @@ def test_simhash(docs):
     assert pairs.get((4, 5)) == 0
 
 
+def test_simhash_native_kernel(docs):
+    """native=True (xxhash64, pure Catalyst): no Python stage in the plan,
+    and the near-dup PAIRS agree with the md5 oracle kernel on the fixture
+    corpus (fingerprints differ — the hash functions differ — but real
+    near-dups land within max_hamming under both)."""
+    from siteone_crawler_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    plan = simhash64(docs, native=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash64(docs, native=True).collect()}
+    assert fp[1] == fp[2]  # same tokens after normalization
+    assert fp[4] == fp[5]  # same word multiset (order-insensitive)
+
+    md5_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(docs, max_hamming=16).collect()
+    }
+    native_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(docs, max_hamming=16, native=True).collect()
+    }
+    assert md5_pairs == native_pairs
+
+
 def test_cdc_chunk_dedup(spark):
     """Content-defined chunking: shared content yields shared chunk hashes
     at ANY offset (the CDC property a fixed-size chunker lacks)."""

@@ -86,3 +86,101 @@ def test_spark_udf(spark):
     }
     assert "# T" in out["a"] and "body" in out["a"]
     assert out["b"] is None
+
+
+def test_normalize_markdown_content():
+    from siteone_crawler_spark.sources.markdown import normalize_markdown_content
+
+    src = "[About](about.html) [Deep](a/b.html#frag) ![logo](l.png) [x]()\n- \n"
+    out = normalize_markdown_content(src)
+    assert "[About](about.md)" in out
+    assert "[Deep](a/b.md#frag)" in out
+    assert "[x]()" not in out
+    assert "\n- \n" not in out
+    # images survive unless disabled
+    assert "![logo](l.png)" in out
+    out2 = normalize_markdown_content(src, disable_images=True)
+    assert "![logo]" not in out2
+    # ignore regexes keep matching targets untouched
+    out3 = normalize_markdown_content(src, ignore_regexes=(r"^about",))
+    assert "[About](about.html)" in out3
+
+
+def test_export_markdown_site(spark, tmp_path):
+    """S10 e2e: whole-site .md tree with rewritten inter-page links
+    (markdown_exporter.rs store_file; integration baseline ~51 .md files)."""
+    import os
+
+    from siteone_crawler_spark.generator import generate_site, site_to_html
+    from siteone_crawler_spark.sources.markdown import export_markdown_site
+
+    site = generate_site(seed=4, n_hosts=1, docs_per_host=8, with_breaker_family=False)
+    rows = [r for r in site_to_html(site)]
+    html_df = spark.createDataFrame(rows, "doc_id string, content_type string, body string")
+    out = str(tmp_path / "mdsite")
+    n = export_markdown_site(html_df, out, site.seeds[0][0])
+    assert n == len(rows)
+    assert os.path.exists(os.path.join(out, "index.md"))
+    # every page whose stored path ends .html becomes a .md file; non-.html
+    # store paths (e.g. /docs/d3.php) keep rewritten HTML like the reference
+    from siteone_crawler_spark.sources.offline import convert_url_to_relative
+
+    exp_md = sum(
+        1
+        for u, ct, _ in rows
+        if "html" in ct
+        and convert_url_to_relative(
+            site.seeds[0][0], site.seeds[0][0], u,
+            is_external_domain_allowed_for_crawling=lambda _h: True,
+        ).endswith(".html")
+    )
+    n_md = sum(len([f for f in fs if f.endswith(".md")]) for _, _, fs in os.walk(out))
+    assert n_md == exp_md > 0
+    # no stray .html files for pages; assets stored raw
+    n_html_files = sum(
+        len([f for f in fs if f.endswith(".html")]) for _, _, fs in os.walk(out)
+    )
+    assert n_html_files == 0
+    idx = open(os.path.join(out, "index.md")).read()
+    # inter-page links: relative AND retargeted at the .md twin
+    assert ".md" in idx
+    assert "https://h0000.example.test" not in idx
+
+
+def test_export_markdown_site_link_goldens(spark, tmp_path):
+    import os
+
+    from siteone_crawler_spark.sources.markdown import export_markdown_site
+
+    rows = [
+        (
+            "https://ex.test/",
+            "text/html",
+            '<html><body><h1>Home</h1><a href="/about">About</a>'
+            '<a href="/a/deep/">Deep</a><img src="/img/l.png"></body></html>',
+        ),
+        (
+            "https://ex.test/about",
+            "text/html",
+            '<html><body><h1>About</h1><a href="/">Home</a></body></html>',
+        ),
+        (
+            "https://ex.test/a/deep/",
+            "text/html",
+            '<html><body><h1>Deep</h1><a href="/about">About</a></body></html>',
+        ),
+        ("https://ex.test/img/l.png", "image/png", "PNGDATA"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content_type string, body string")
+    out = str(tmp_path / "md")
+    n = export_markdown_site(df, out, "https://ex.test/")
+    assert n == 4
+    idx = open(os.path.join(out, "index.md")).read()
+    assert "[About](about.md)" in idx
+    assert "[Deep](a/deep/index.md)" in idx
+    assert "![](img/l.png)" in idx
+    about = open(os.path.join(out, "about.md")).read()
+    assert "[Home](index.md)" in about
+    deep = open(os.path.join(out, "a/deep/index.md")).read()
+    assert "[About](../../about.md)" in deep
+    assert open(os.path.join(out, "img/l.png")).read() == "PNGDATA"

@@ -206,3 +206,73 @@ def test_crawl_delay_politeness(spark, tmp_path):
         .groupBy("wave").count().collect()
     )
     assert all(r["count"] <= 2 for r in per_wave)
+
+
+def test_mailer_export():
+    """S11 mailer twin: subject templating, sender hostname resolution,
+    email styling, .eml serialization (mailer_exporter.rs:85-160)."""
+    import datetime
+
+    from siteone_crawler_spark.sources.exporters import build_email, write_eml
+
+    email = build_email(
+        "<html><body><table><tr><td>x</td></tr></table></body></html>",
+        "ex.test",
+        mail_to=("a@b.test", "c@d.test"),
+        subject_template="Report %domain% %date% %datetime%",
+        hostname="worker-1",
+        now=datetime.datetime(2026, 8, 17, 12, 30),
+    )
+    assert email["subject"] == "Report ex.test 2026-08-17 2026-08-17 12:30"
+    assert email["from"] == "Crawler Report <crawler@worker-1>"
+    assert 'style="font-family' in email["attachment_html"]
+    assert "border-collapse" in email["attachment_html"]
+
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".eml")
+    write_eml(email, p)
+    raw = open(p, "rb").read().decode("utf-8", "replace")
+    assert "Subject: Report ex.test" in raw
+    assert "To: a@b.test, c@d.test" in raw
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_email("<html></html>", "ex.test", mail_to=())
+
+
+def test_upload_payload():
+    """S11 upload twin: gzip + percent-encode + urlencoded form fields,
+    deterministic bytes (upload_exporter.rs:59-110)."""
+    import gzip
+    import urllib.parse
+
+    from siteone_crawler_spark.sources.exporters import (
+        build_upload_payload,
+        write_upload_payload,
+    )
+
+    html = "<html><body>report</body></html>"
+    payload = build_upload_payload(
+        html, retention="30d", password=" s3cret ", version="spark", platform="linux"
+    )
+    assert payload == build_upload_payload(
+        html, retention="30d", password="s3cret", version="spark", platform="linux"
+    )
+    fields = dict(p.split("=", 1) for p in payload.decode().split("&"))
+    assert fields["version"] == "spark" and fields["platform"] == "linux"
+    assert fields["retention"] == "30d" and fields["password"] == "s3cret"
+    back = gzip.decompress(
+        urllib.parse.unquote_to_bytes(fields["htmlBody"])
+    ).decode()
+    assert back == html
+
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".bin")
+    m = write_upload_payload(html, p, endpoint="https://upload.example/api")
+    assert m["bytes"] == len(open(p, "rb").read())
+    # empty password omitted from the form
+    p2 = build_upload_payload(html, password="  ").decode()
+    assert "password=" not in p2
