@@ -1051,6 +1051,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_near_pairs"] = q_simhash_pairs
 
+    def q_extra_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """F15 extra-columns over planted HTML: xpath text/attr extraction
+        (DOM selector engine, functions/extra_columns.extract_xpath —
+        extra_column.rs:180-234) + native regexp extraction. The oracle
+        reconstructs every planted value arithmetically."""
+        from siteone_crawler_spark.functions.extra_columns import with_extra_columns
+
+        _register(spark, sf_dir)
+        did = F.col("doc_id").cast("long")
+        s = did.cast("string")
+        body = F.concat(
+            F.lit("<html><body><h1>H "), (did * 7 % 53).cast("string"),
+            F.lit('</h1><a href="/l/'), s, F.lit('">x</a>'),
+            F.lit('<meta name="author" content="A'), (did % 7).cast("string"),
+            F.lit('">'),
+            F.lit("<p>num "), (did % 100).cast("string"), F.lit("</p>"),
+            F.lit("</body></html>"),
+        )
+        docs = spark.table("documents").select(
+            did.alias("doc_id"), body.alias("body")
+        )
+        out = with_extra_columns(
+            docs,
+            [
+                "Heading=xpath://h1/text()",
+                "Link=xpath://a/@href",
+                "Author=xpath://meta[@name='author']/@content",
+                r"Num=regexp:num (\d+)#1",
+            ],
+            text_col="body",
+        )
+        return out.select("doc_id", "Heading", "Link", "Author", "Num")
+
+    q["extra_columns_xpath"] = q_extra_columns
+
+    def q_dns_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """--resolve forced-IP overrides through the DNS SuperTable
+        (network.apply_resolve_overrides; crawler.rs:179-191, 536-538):
+        overridden hosts lose CNAMEs and carry exactly the forced address."""
+        from siteone_crawler_spark.config import CrawlConfig
+        from siteone_crawler_spark.operators.network import (
+            apply_resolve_overrides,
+            dns_stats,
+        )
+
+        cfg = CrawlConfig(
+            resolve=(
+                "h3.corpus.test:443:203.0.113.3",
+                "h7.corpus.test:443:2001:db8::7",
+            )
+        )
+        probes = apply_resolve_overrides(
+            _host_probes(spark, sf_dir), cfg.resolve_overrides()
+        )
+        return dns_stats(probes).withColumn(
+            "resolved_chain", F.array_join("resolved_chain", "|")
+        )
+
+    q["dns_stats_resolve"] = q_dns_resolve
+
     # The driver checks queries() in dict order (first N). Keep every entry
     # that certifies repo operators in the head; push generic SQL-dialect
     # twins (they certify Spark-vs-DuckDB, not repo code) and superseded
@@ -1746,6 +1806,33 @@ def oracle_sql() -> dict[str, str]:
           cast(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS int) AS n_ipv6,
           true AS resolved
         FROM h ORDER BY host"""
+
+    # --resolve overrides: hosts h3 (forced ipv4) and h7 (forced ipv6) skip
+    # resolution — no CNAMEs, only the forced address family populated
+    o["dns_stats_resolve"] = """
+        WITH s AS (SELECT unnest(generate_series(0, 96)) AS k),
+        h AS (SELECT k, 'h' || cast(k AS string) || '.corpus.test' AS host FROM s)
+        SELECT host,
+          CASE WHEN k IN (3, 7) THEN host
+               WHEN k % 4 = 0 THEN host || '|cdn.' || host ELSE host END
+            AS resolved_chain,
+          cast(CASE WHEN k IN (3, 7) THEN 0
+                    WHEN k % 4 = 0 THEN 1 ELSE 0 END AS int) AS n_cnames,
+          cast(CASE WHEN k = 7 THEN 0 ELSE 1 END AS int) AS n_ipv4,
+          cast(CASE WHEN k = 7 THEN 1 WHEN k = 3 THEN 0
+                    WHEN k % 3 = 0 THEN 1 ELSE 0 END AS int) AS n_ipv6,
+          true AS resolved
+        FROM h ORDER BY host"""
+
+    # F15 extra columns: every planted field is arithmetic, so the oracle
+    # checks the DOM xpath engine + native regexp end-to-end
+    o["extra_columns_xpath"] = """
+        SELECT did AS doc_id,
+          'H ' || cast(did * 7 % 53 AS string) AS Heading,
+          '/l/' || cast(did AS string) AS Link,
+          'A' || cast(did % 7 AS string) AS Author,
+          cast(did % 100 AS string) AS Num
+        FROM (SELECT cast(doc_id AS bigint) AS did FROM documents) d"""
 
     # Accessibility summary: every check is planted by residue; the oracle
     # counts the residue classes directly

@@ -66,14 +66,25 @@ def _build_frontier(spark, docs, n: int):
     )
 
 
+PART_MULT = int(os.environ.get("BENCH_PART_MULT", "4"))
+
+
 def wave_bench(cores: int, n_frontier: int) -> dict:
-    """One steady-state wave over an n_frontier-row frontier."""
+    """One steady-state wave over an n_frontier-row frontier.
+
+    Partition counts scale with cores (PART_MULT tasks per slot, not 1):
+    with exactly cores tasks per stage one straggler stalls the whole
+    stage — the classic N-vs-4N efficiency killer — while smaller tasks
+    pack; AQE still coalesces tiny outputs."""
     from siteone_crawler_spark.config import CrawlConfig
     from siteone_crawler_spark.engine import CrawlEngine
     from siteone_crawler_spark.generator import generate_site_df
     from siteone_crawler_spark.session import get_spark
 
-    spark = get_spark(f"bench_wave_{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    spark = get_spark(
+        f"bench_wave_{cores}", cores=cores,
+        shuffle_partitions=max(PART_MULT * cores, 8),
+    )
     # corpus = 2x the frontier: half the wave's targets are already-seen
     # (dedup pressure), half are fresh discoveries (rank+enqueue pressure)
     docs, meta, robots, _seed_fn = generate_site_df(
@@ -82,7 +93,7 @@ def wave_bench(cores: int, n_frontier: int) -> dict:
     # persist docs/meta pre-hash-partitioned on the join key: the fetch join
     # then shuffles only the (smaller) frontier side — the local stand-in for
     # a bucketed Iceberg docs table
-    n_part = max(cores, 8)
+    n_part = max(PART_MULT * cores, 8)
     docs = docs.repartition(n_part, "doc_id").persist()
     meta = meta.repartition(n_part, "doc_id").persist()
     docs.count(), meta.count()
@@ -213,18 +224,21 @@ def _wave_side(runs: list) -> dict:
 
 
 def main() -> None:
-    # N vs 4N parallelism. This host delivers ~linear CPU only up to ~8
-    # concurrent procs (SMT/steal ceiling measured via a pure-multiprocessing
-    # md5 probe: 32 procs get ~16 effective cores), so the honest 4x-core
-    # scaling pair is local[2] vs local[8]; BENCH_SCALE_HI can raise it.
+    # N vs 4N cores: local[1] vs local[4] models 1 vs 4 single-core
+    # executors (+ a fixed 2-CPU driver allotment per side via pinning).
+    # Both sizes sit in this host's measured linear-CPU region (a pure
+    # multiprocessing md5 probe shows ~linear to 8 procs, ~16 effective
+    # cores at 32 — hypervisor steal, no SMT: 32 distinct 1-thread vCPUs),
+    # so the ratio measures the ENGINE's parallel fraction, not the
+    # hypervisor. BENCH_SCALE_LO can raise the pair (e.g. 2 -> 2-vs-8).
     #
     # Noise protocol: single-run draws vary up to +-40% minutes apart, so a
     # 2-3 draw best-of cannot resolve a 0.74-vs-0.80 efficiency question.
     # Take BENCH_WAVE_DRAWS (default 4) symmetric draws per side, INTERLEAVED
     # lo/hi at child granularity so slow host phases hit both sides equally,
     # each child CPU-pinned (see _spawn) and reporting 2 runs per warmed JVM.
-    hi_cores = int(os.environ.get("BENCH_SCALE_HI", "8"))
-    lo_cores = max(2, hi_cores // 4)
+    lo_cores = int(os.environ.get("BENCH_SCALE_LO", "1"))
+    hi_cores = 4 * lo_cores
     draws = int(os.environ.get("BENCH_WAVE_DRAWS", "4"))
     per_child = 2
     lo_runs: list = []
@@ -239,6 +253,12 @@ def main() -> None:
     lo = _wave_side(lo_runs)
     hi = _wave_side(hi_runs)
     efficiency = round((hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi_cores / lo_cores), 3)
+    # headline wave throughput: same job at the host's effective-core width
+    # (unpinned — it owns the box), separate from the scaling pair
+    full_cores = int(os.environ.get("BENCH_WAVE_FULL_CORES", "16"))
+    wave_full = _wave_side(
+        _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=2)["runs"]
+    )
     crawl = _spawn("crawl", CPUS, CRAWL_DOCS)
 
     from siteone_crawler_spark.session import get_spark
@@ -249,19 +269,33 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "frontier_throughput_urls_per_sec",
-        "value": hi["urls_per_sec"],
+        "value": wave_full["urls_per_sec"],
         "unit": "urls/sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "wave": {"lo": lo, "hi": hi, "scaling_efficiency": efficiency},
+        "wave": {
+            "lo": lo,
+            "hi": hi,
+            "scaling_efficiency": efficiency,
+            "full": wave_full,
+        },
         "full_crawl": crawl,
     }
-    _write_baseline_md(lo, hi, efficiency, crawl)
+    _write_baseline_md(lo, hi, efficiency, crawl, wave_full)
     print(json.dumps(result))
 
 
-def _write_baseline_md(lo: dict, hi: dict, eff: float, crawl: dict) -> None:
+def _write_baseline_md(
+    lo: dict, hi: dict, eff: float, crawl: dict, wave_full: dict | None = None
+) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    full_row = (
+        f"| local[{wave_full['cores']}] (headline, unpinned) | "
+        f"{wave_full['frontier']} | {wave_full['candidates']} | "
+        f"{wave_full['sec']} | {wave_full['urls_per_sec']} |\n"
+        if wave_full
+        else ""
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — frontier scaling evidence\n\n"
@@ -274,27 +308,35 @@ def _write_baseline_md(lo: dict, hi: dict, eff: float, crawl: dict) -> None:
             "| parallelism | frontier | candidates | sec | URLs sched+dedup/sec |\n"
             "|---|---|---|---|---|\n"
             f"| local[{lo['cores']}] | {lo['frontier']} | {lo['candidates']} | {lo['sec']} | {lo['urls_per_sec']} |\n"
-            f"| local[{hi['cores']}] | {hi['frontier']} | {hi['candidates']} | {hi['sec']} | {hi['urls_per_sec']} |\n\n"
-            f"**Scaling efficiency (throughput ratio / core ratio): {eff}** "
+            f"| local[{hi['cores']}] | {hi['frontier']} | {hi['candidates']} | {hi['sec']} | {hi['urls_per_sec']} |\n"
+            + full_row +
+            f"\n**Scaling efficiency (throughput ratio / core ratio): {eff}** "
             "(target >= 0.8 per BASELINE.json)\n\n"
             "Methodology: measurements run in fresh subprocesses (JVM\n"
             "isolation), each CPU-pinned to cores+2 CPUs (executor cores +\n"
             "a fixed driver allotment — local[N] only bounds task slots;\n"
             "unpinned, JVM GC/netty/Arrow pools leak onto all 32 host CPUs\n"
-            "and overstate small-core throughput). Each child warms up with\n"
-            "a 1/20-size run of the same shape, then reports 2 timed runs;\n"
+            "and overstate small-core throughput; the JVM additionally gets\n"
+            "-XX:ActiveProcessorCount sized to the affinity mask, the local\n"
+            "analog of a cgroup CPU limit). Each child warms up with a\n"
+            "1/20-size run of the same shape, then reports 2 timed runs;\n"
             "children INTERLEAVE lo/hi so host drift hits both sides\n"
             f"equally, for {len(lo['all_runs_sec'])} symmetric draws per\n"
             "side, best-of reported as the quiet-host estimate: noise on\n"
             "this shared-tenancy host only ever ADDS time, and single-run\n"
             "draws vary up to +-40% between identical runs minutes apart\n"
-            "(all per-run times are recorded in the JSON line). local[2] vs\n"
-            "local[8] is the 4x pair because a pure-multiprocessing CPU probe\n"
-            "shows the box delivers only ~16 effective cores at 32 procs\n"
-            "(SMT/steal ceiling) — 8->32 would measure the hypervisor, not\n"
-            "the engine. Shuffle dirs are tmpfs: single-node disk is the one\n"
-            "resource that cannot scale with local cores, whereas a real\n"
-            "cluster adds disks with every executor.\n\n"
+            "(all per-run times are recorded in the JSON line).\n\n"
+            f"local[{lo['cores']}] vs local[{hi['cores']}] models "
+            f"{lo['cores']} vs {hi['cores']} single-core executors (N vs 4N)\n"
+            "inside the host's measured linear-CPU region: a pure\n"
+            "multiprocessing md5 probe shows ~linear scaling to 8 procs and\n"
+            "only ~16 effective cores at 32 (hypervisor steal; lscpu reports\n"
+            "32 distinct 1-thread vCPUs, no SMT) — larger pairs measure the\n"
+            "hypervisor, not the engine. The separate headline row shows the\n"
+            "same wave at the host's effective-core width. Shuffle dirs are\n"
+            "tmpfs: single-node disk is the one resource that cannot scale\n"
+            "with local cores, whereas a real cluster adds disks with every\n"
+            "executor.\n\n"
             "Full BFS crawl (ramp-up waves included): "
             f"{crawl['urls']} URLs in {crawl['sec']}s at local[{crawl['cores']}] "
             f"= {crawl['urls_per_sec']} URLs/sec.\n"

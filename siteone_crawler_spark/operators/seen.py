@@ -143,13 +143,20 @@ class SeenSet:
     def count(self) -> int:
         return self.keys.count() if self._keys is not None else 0
 
-    def add(self, new_keys: DataFrame) -> None:
-        """new_keys: DataFrame with url_key column (assumed distinct, unseen)."""
+    def add(self, new_keys: DataFrame, n_keys: int | None = None) -> None:
+        """new_keys: DataFrame with url_key column (assumed distinct, unseen).
+        Driver-side bloom build only while the slice is modest; the
+        distributed per-bucket builder above that (pass n_keys to skip the
+        sizing count)."""
         kb = new_keys.select(
             "url_key", key_bucket(F.col("url_key"), self.n_buckets).alias("bucket")
         )
-        pdf = kb.toPandas()
-        self.bloom.add_keys(pdf)
+        n = n_keys if n_keys is not None else kb.count()
+        if n < 2_000_000:
+            self.bloom.add_keys(kb.toPandas())
+        else:
+            for b, blob in build_bloom_blobs(kb, self.bloom.m, self.bloom.k):
+                self.bloom.merge_blob(b, blob)
         self._keys = self.keys.unionByName(kb)
 
     # below this many seen keys the bloom prefilter costs more (one extra

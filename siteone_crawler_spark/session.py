@@ -98,6 +98,20 @@ def get_spark(
             ),
         )
     )
+    # CPU-affined process (e.g. a pinned bench child modeling an N-core
+    # executor): tell the JVM how many CPUs it really has — GC/JIT/common
+    # pools otherwise size by HOST cpu count (32) and thrash the small
+    # affinity mask (23 G1 threads on 4 CPUs). On a real cluster the
+    # container's cgroup does this for us.
+    try:
+        n_aff = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        n_aff = os.cpu_count() or 8
+    if n_aff < (os.cpu_count() or n_aff):
+        b = b.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={n_aff}",
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

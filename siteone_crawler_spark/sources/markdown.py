@@ -385,3 +385,93 @@ def export_markdown_site(
 
     manifest = html_docs.mapInPandas(write_partition, "url string, file_path string")
     return manifest.filter("file_path IS NOT NULL").count()
+
+
+# ------------------------------------------- single-file aggregation (S10)
+def _url_from_md_path(rel_path: str, base_url: str) -> str:
+    """Converted-tree path -> original URL (markdown_site_aggregator.rs:
+    150-181: strip .md, a trailing /index becomes /, root index is the
+    base URL itself)."""
+    p = rel_path.replace("\\", "/").lstrip("/")
+    if p.endswith(".md"):
+        p = p[:-3]
+    p = re.sub(r"/index$", "/", p)
+    base = base_url.rstrip("/")
+    if p in ("index", ""):
+        return base
+    return f"{base}/{p.lstrip('/')}" if base else p
+
+
+def _page_sort_key(url: str, base_url: str):
+    """Root first, then component-wise path order (aggregator.rs:45-66)."""
+    base = base_url.rstrip("/")
+    if url == base or url == "":
+        return (0,)
+    return (1, url.rstrip("/").split("/"))
+
+
+def combine_markdown_site(
+    directory: str,
+    base_url: str,
+    remove_links_and_images: bool = False,
+) -> str:
+    """Combine an exported .md tree into one document
+    (markdown_site_aggregator.rs:30-116 observed behavior): pages ordered
+    root-first/path-wise, each introduced by an `⬇️ `URL: ...``
+    marker between `---` rules; lines common to the top (header) and bottom
+    (footer) of EVERY page are hoisted out once. Header/footer detection
+    here is exact-line common prefix/suffix — the reference additionally
+    fuzzy-matches ~90%-similar lines; exact matching is a documented
+    conservative subset (it never hoists non-identical content)."""
+    import os
+
+    pages: list[tuple[str, list[str]]] = []
+    for root, _dirs, files in os.walk(directory):
+        for fn in sorted(files):
+            if not fn.endswith(".md"):
+                continue
+            p = os.path.join(root, fn)
+            rel = os.path.relpath(p, directory)
+            with open(p, encoding="utf-8") as f:
+                lines = f.read().rstrip("\n").split("\n")
+            pages.append((_url_from_md_path(rel, base_url), lines))
+    pages.sort(key=lambda t: _page_sort_key(t[0], base_url))
+
+    header: list[str] = []
+    footer: list[str] = []
+    if len(pages) >= 2:
+        all_lines = [lines for _, lines in pages]
+        n = min(len(ls) for ls in all_lines)
+        while len(header) < n and all(
+            ls[len(header)] == all_lines[0][len(header)] for ls in all_lines
+        ):
+            header.append(all_lines[0][len(header)])
+        remaining = n - len(header)
+        while len(footer) < remaining and all(
+            ls[-1 - len(footer)] == all_lines[0][-1 - len(footer)] for ls in all_lines
+        ):
+            footer.append(all_lines[0][-1 - len(footer)])
+        footer.reverse()
+
+    out: list[str] = []
+    if header:
+        out.extend(header)
+        out.append("")
+    for url, lines in pages:
+        body = lines[len(header):] if header else lines
+        if footer:
+            body = body[: len(body) - len(footer)]
+        out.append(f"⬇️ `URL: {url}`\n\n---\n\n")
+        out.extend(body)
+        out.append("\n\n---\n")
+    if footer:
+        if out and out[-1] == "":
+            out.pop()
+        out.append("")
+        out.extend(footer)
+    md = "\n".join(out)
+    if remove_links_and_images:
+        md = RE_MD_LINKED_IMAGE.sub("", md)
+        md = RE_MD_IMAGE.sub("", md)
+        md = RE_MD_LINK.sub(lambda m: m.group(1), md)
+    return md

@@ -184,3 +184,35 @@ def test_export_markdown_site_link_goldens(spark, tmp_path):
     deep = open(os.path.join(out, "a/deep/index.md")).read()
     assert "[About](../../about.md)" in deep
     assert open(os.path.join(out, "img/l.png")).read() == "PNGDATA"
+
+
+def test_combine_markdown_site(tmp_path):
+    """Single-file aggregation (markdown_site_aggregator.rs:30-116): root
+    page first, URL markers, common header/footer hoisted once, optional
+    link/image stripping."""
+    import os
+
+    from siteone_crawler_spark.sources.markdown import combine_markdown_site
+
+    d = str(tmp_path / "tree")
+    os.makedirs(os.path.join(d, "a"), exist_ok=True)
+    hdr, ftr = "SiteName", "(c) footer"
+    open(os.path.join(d, "index.md"), "w").write(
+        f"{hdr}\n# Home\n[About](about.md) ![l](x.png)\n{ftr}"
+    )
+    open(os.path.join(d, "about.md"), "w").write(f"{hdr}\n# About\nbody\n{ftr}")
+    open(os.path.join(d, "a", "index.md"), "w").write(f"{hdr}\n# Deep\nzz\n{ftr}")
+
+    md = combine_markdown_site(d, "https://ex.test/")
+    # root first, then path order
+    i_root = md.index("`URL: https://ex.test`")
+    i_a = md.index("`URL: https://ex.test/a/`")
+    i_about = md.index("`URL: https://ex.test/about`")
+    assert i_root < i_a < i_about
+    # header/footer hoisted exactly once
+    assert md.count(hdr) == 1 and md.count(ftr) == 1
+    assert md.index(hdr) < i_root and md.rindex(ftr) > i_about
+    assert "# Home" in md and "# About" in md and "# Deep" in md
+
+    plain = combine_markdown_site(d, "https://ex.test/", remove_links_and_images=True)
+    assert "](" not in plain and "![" not in plain and "About" in plain

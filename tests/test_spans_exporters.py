@@ -172,10 +172,57 @@ def test_extra_columns(spark):
 
     spec = parse_extra_column("X=regexp:/a(b)c/#1")
     assert spec.group == 1 and spec.spec == "a(b)c"
+    # undelimited reference grammar + length/truncate suffix
+    spec = parse_extra_column("X=regexp:<title>(.+?)</title>#1(30>)")
+    assert spec.spec == "<title>(.+?)</title>" and spec.group == 1
+    assert spec.length == 30 and spec.truncate is False
+    # bare names are plain passthrough columns (extra_column.rs from_text)
+    plain = parse_extra_column("Wide(30>)")
+    assert plain.kind == "plain" and plain.length == 30 and not plain.truncate
     with pytest.raises(ValueError):
-        parse_extra_column("bad-spec")
-    with pytest.raises(Exception):
-        with_extra_columns(df, ["Y=xpath://h1/text()"]).collect()
+        parse_extra_column("X=foo:bar")
+
+
+def test_extra_columns_xpath(spark):
+    """F15 xpath surface — full parity with the reference's CSS-convertible
+    subset (extra_column.rs:180-234): tag paths, [attr='value'] predicates,
+    child (/) vs descendant (//) combinators, /@attr reads, #N indexing."""
+    from siteone_crawler_spark.functions.extra_columns import (
+        extract_xpath,
+        parse_extra_column,
+        truncated_value,
+        with_extra_columns,
+    )
+
+    html = (
+        '<html><body><div class="main"><h1>Top Title</h1>'
+        '<a href="/first">one</a><p><a href="/second">two</a></p></div>'
+        '<div><span data-x="v">deep</span></div>'
+        '<meta name="author" content="Ada">'
+        "</body></html>"
+    )
+    assert extract_xpath(html, "//h1/text()") == "Top Title"
+    assert extract_xpath(html, "//div[@class='main']/h1") == "Top Title"
+    assert extract_xpath(html, "//a/@href") == "/first"
+    assert extract_xpath(html, "//a/@href", index=1) == "/second"
+    # child combinator: //div/a only matches the direct child anchor
+    assert extract_xpath(html, "//div/a/@href") == "/first"
+    assert extract_xpath(html, "//meta[@name='author']/@content") == "Ada"
+    assert extract_xpath(html, "//span[@data-x]") == "deep"
+    assert extract_xpath(html, "//h2") is None
+    assert extract_xpath(html, "//a", index=9) is None
+
+    df = spark.createDataFrame([(html,), (None,)], "text string")
+    out = with_extra_columns(
+        df, ["T=xpath://h1/text()", "Author=xpath://meta[@name='author']/@content"]
+    ).collect()
+    assert out[0]["T"] == "Top Title" and out[0]["Author"] == "Ada"
+    assert out[1]["T"] is None
+
+    spec = parse_extra_column("T=xpath://h1(7)")
+    assert truncated_value(spec, "Top Title") == "Top Ti…"
+    assert truncated_value(spec, "Top") == "Top"
+    assert truncated_value(spec, None) is None
 
 
 def test_crawl_delay_politeness(spark, tmp_path):
