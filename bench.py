@@ -175,6 +175,17 @@ def run_queries(spark) -> dict:
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
+
+    # the at-scale simhash kernel (xxhash64, pure Catalyst) timed alongside
+    # the md5 oracle-parity kernel the driver gate checks
+    from siteone_crawler_spark.operators.dedup import simhash_near_pairs
+
+    t0 = time.time()
+    simhash_near_pairs(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")),
+        max_hamming=12, native=True,
+    ).write.format("noop").mode("overwrite").save()
+    out["simhash_near_pairs_native"] = round(time.time() - t0, 3)
     return out
 
 

@@ -351,6 +351,10 @@ def export_markdown_site(
                     paths.append(None)
                     continue
                 rel = rel.split("#", 1)[0]
+                # storage is rooted at the export dir: '../' backlinks from a
+                # non-root initial URL collapse (store_file's traversal strip,
+                # markdown_exporter.rs:205 + :937-950)
+                rel = rel.replace("../", "").lstrip("/ ")
                 is_html = (ct or "text/html").split(";")[0].strip() in (
                     "text/html",
                     "application/xhtml+xml",

@@ -429,6 +429,10 @@ def export_offline_site(
                     paths.append(None)
                     continue
                 rel = rel.split("#", 1)[0]
+                # storage is rooted at the export dir: '../' backlinks from a
+                # non-root initial URL collapse (the reference's store-path
+                # traversal strip, markdown_exporter.rs:205, :937-950)
+                rel = rel.replace("../", "").lstrip("/ ")
                 target = safe_export_target(out_dir, rel)
                 if target is None:  # crafted ..-segments must not escape
                     paths.append(None)
