@@ -723,39 +723,68 @@ class CrawlEngine:
         # the exact anti-join side partition-prunes and never recomputes the
         # bucket hash; derived from the just-written frontier parquet so its
         # lineage is one file scan
-        self.store.write_table(
-            "seen",
-            wave,
-            self.store.read_wave("frontier", wave, FRONTIER_SCHEMA)
-            .select("url_key")
-            .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets)),
-            max_files=self._nfiles(n_cand),
-            partition_by="bucket",
-        )
-        # parquet-backed seen keys: cut lineage, one scan over committed waves
-        self.seen._keys = self.store.read_all_partitioned(
-            "seen", wave, "url_key string, bucket int", ["url_key", "bucket"]
-        )
+        def _write_seen():
+            self.store.write_table(
+                "seen",
+                wave,
+                self.store.read_wave("frontier", wave, FRONTIER_SCHEMA)
+                .select("url_key")
+                .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets)),
+                max_files=self._nfiles(n_cand),
+                partition_by="bucket",
+            )
+
         self._wave_seq_start[wave] = self.n_enqueued
         self.n_enqueued += n_new
 
         # bloom maintenance only once the seen set is big enough to pay for
         # it (below that, filter_new broadcast-anti-joins the exact keys);
-        # bitsets are built DISTRIBUTED per bucket, only blobs hit the driver
-        if self.n_enqueued >= self.seen.bloom_min_keys:
-            src = (
-                self.seen.keys
-                if not self._bloom_ready
-                else self.store.read_wave("frontier", wave)
-                .select("url_key")
-                .withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+        # bitsets are built DISTRIBUTED per bucket, only blobs hit the driver.
+        # Steady-state (bloom already live): the wave's key slice comes from
+        # the just-written frontier parquet, independent of the seen write —
+        # the two run as CONCURRENT jobs, taking the bloom build out of the
+        # wave's serial tail (a constant cost that otherwise caps N-vs-4N
+        # scaling efficiency).
+        def _update_bloom():
+            src = self.store.read_wave("frontier", wave, FRONTIER_SCHEMA).select(
+                "url_key"
+            ).withColumn("bucket", key_bucket(F.col("url_key"), self.seen.n_buckets))
+            self._bloom_absorb(src, n_new)
+            self.store.write_table(
+                "blooms",
+                wave,
+                self.spark.createDataFrame(
+                    self.seen.bloom.to_rows(), "bucket int, bits binary"
+                ),
             )
-            slice_rows = n_new if self._bloom_ready else self.n_enqueued
-            self._bloom_absorb(src, slice_rows)
-            bloom_df = self.spark.createDataFrame(
-                self.seen.bloom.to_rows(), "bucket int, bits binary"
-            )
-            self.store.write_table("blooms", wave, bloom_df)
+
+        want_bloom = self.n_enqueued >= self.seen.bloom_min_keys
+        if want_bloom and self._bloom_ready:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_seen = ex.submit(_write_seen)
+                f_bloom = ex.submit(_update_bloom)
+                f_seen.result()
+                f_bloom.result()
+        else:
+            _write_seen()
+            if want_bloom:  # first build folds the ENTIRE seen set
+                self.seen._keys = self.store.read_all_partitioned(
+                    "seen", wave, "url_key string, bucket int", ["url_key", "bucket"]
+                )
+                self._bloom_absorb(self.seen.keys, self.n_enqueued)
+                self.store.write_table(
+                    "blooms",
+                    wave,
+                    self.spark.createDataFrame(
+                        self.seen.bloom.to_rows(), "bucket int, bits binary"
+                    ),
+                )
+        # parquet-backed seen keys: cut lineage, one scan over committed waves
+        self.seen._keys = self.store.read_all_partitioned(
+            "seen", wave, "url_key string, bucket int", ["url_key", "bucket"]
+        )
         return n_new
 
     def _bloom_absorb(self, src: DataFrame, slice_rows: int) -> None:
@@ -763,7 +792,10 @@ class CrawlEngine:
         modest; distributed per-bucket build (operators/seen.build_bloom_blobs)
         above that — a 10^10-key seen set must never toPandas through the
         driver. Shared by the per-wave path, external seeding, and resume."""
-        if slice_rows < 2_000_000:
+        # driver build only for SMALL slices: the pandas path hashes keys
+        # single-threaded on the driver (pure serial-tail cost); above the
+        # cutoff the per-bucket applyInPandas build scales with cores
+        if slice_rows < 250_000:
             self.seen.bloom.add_keys(src.select("url_key", "bucket").toPandas())
         else:
             from .operators.seen import build_bloom_blobs
