@@ -91,3 +91,27 @@ def test_with_global_seq_big_path(spark):
     a = sorted(map(tuple, ranked.collect()))
     b = sorted(map(tuple, ranked2.collect()))
     assert a == b
+
+
+def test_bloom_builder_paths_identical(spark):
+    """The driver pandas build (used <250k keys) and the distributed
+    per-bucket build must produce byte-identical bitsets — the engine
+    switches between them on slice size, which must never change results."""
+    from siteone_crawler_spark.operators.seen import (
+        BloomState,
+        build_bloom_blobs,
+        key_bucket,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"{i * 2654435761 % (1 << 128):032x}",) for i in range(2000)],
+        "url_key string",
+    ).withColumn("bucket", key_bucket(F.col("url_key"), 8))
+    a = BloomState(8, 1 << 14, 7)
+    a.add_keys(keys.toPandas())
+    b = BloomState(8, 1 << 14, 7)
+    for bk, blob in build_bloom_blobs(keys, b.m, b.k):
+        b.merge_blob(bk, blob)
+    assert set(a.bits) == set(b.bits)
+    for bk in a.bits:
+        assert a.bits[bk].tobytes() == b.bits[bk].tobytes()
