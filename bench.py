@@ -33,9 +33,24 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WAVE_FRONTIER = int(os.environ.get("BENCH_WAVE_FRONTIER", "2000000"))
+# the pinned N-vs-4N pair uses a smaller frontier than the headline wave:
+# budget arithmetic (see main()) — at 2M a local[1] run is ~785s, so 4 draws
+# per side alone exceed the driver's ~1h budget; at 800k a local[1] run is
+# ~315s and the full 4-draw interleaved protocol + headline + crawl +
+# queries fits with slack
+PAIR_FRONTIER = int(os.environ.get("BENCH_PAIR_FRONTIER", "800000"))
 CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "100000"))
 CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "4000"))
 FANOUT = 8
+
+# hard internal deadline: emit whatever is measured before the driver's
+# ~3600s kill — a timeout must never again yield `parsed: null`
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "3300"))
+T_START = time.time()
+
+
+def _left() -> float:
+    return BUDGET_S - (time.time() - T_START)
 
 
 def _build_frontier(spark, docs, n: int):
@@ -193,7 +208,13 @@ def run_queries(spark) -> dict:
 def _child(mode: str, cores: int, size: int, n_runs: int = 1) -> None:
     # warm the JVM + python workers with a small run of the same shape, then
     # emit ALL measured runs (the parent aggregates best-of across children)
-    if mode == "wave":
+    if mode == "queries":
+        from siteone_crawler_spark.session import get_spark
+
+        spark = get_spark("bench_queries", cores=cores,
+                          shuffle_partitions=max(cores, 16))
+        print(json.dumps({"queries": run_queries(spark)}))
+    elif mode == "wave":
         wave_bench(cores, max(size // 20, 5000))
         runs = [wave_bench(cores, size) for _ in range(n_runs)]
         print(json.dumps({"runs": runs}))
@@ -212,14 +233,18 @@ def _spawn(mode: str, cores: int, size: int, pin: bool = False, n_runs: int = 1)
     bounds TASK slots — JVM GC/netty/Arrow pools size by HOST cpu count
     (32), so an unpinned local[2] leaks auxiliary work onto 30 idle CPUs
     and overstates small-cluster throughput. Pinning models an N-core
-    executor plus a driver node, the thing the N-vs-4N rule compares."""
+    executor plus a driver node, the thing the N-vs-4N rule compares.
+
+    The child's timeout is clamped to the remaining global budget (minus a
+    60s margin for the parent to aggregate + print) so one stuck child can
+    never starve the final JSON line."""
     cmd = [sys.executable, os.path.abspath(__file__), "--child", mode, str(cores),
            str(size), str(n_runs)]
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores + 1}"] + cmd
     out = subprocess.run(
         cmd,
-        capture_output=True, text=True, timeout=4800,
+        capture_output=True, text=True, timeout=max(120, _left() - 60),
         cwd=REPO,
     )
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
@@ -247,44 +272,82 @@ def main() -> None:
     # so the ratio measures the ENGINE's parallel fraction, not the
     # hypervisor. BENCH_SCALE_LO can raise the pair (e.g. 2 -> 2-vs-8).
     #
-    # Noise protocol: single-run draws vary up to +-40% minutes apart, so a
-    # 2-3 draw best-of cannot resolve a 0.74-vs-0.80 efficiency question.
-    # Take BENCH_WAVE_DRAWS (default 4) symmetric draws per side, INTERLEAVED
-    # lo/hi at child granularity so slow host phases hit both sides equally,
-    # each child CPU-pinned (see _spawn) and reporting 2 runs per warmed JVM.
+    # Noise protocol: single-run draws vary up to +-40% minutes apart —
+    # take up to BENCH_WAVE_DRAWS (default 4) symmetric draws per side,
+    # INTERLEAVED lo/hi at child granularity so slow host phases hit both
+    # sides equally, each child CPU-pinned (see _spawn) reporting 2 runs
+    # per warmed JVM.
+    #
+    # Budget protocol (the round-3 bench died at the driver's ~3600s limit
+    # with nothing recorded): every section is gated on the global deadline.
+    #   1. per-query timings FIRST in a fresh child (cold-host numbers,
+    #      comparable round-over-round — post-marathon timings inflate ~30%)
+    #   2. one mandatory interleaved lo/hi round (2 draws/side), further
+    #      rounds only while the measured cost of another round fits the
+    #      remaining budget minus a reserve for the headline + crawl
+    #   3. headline local[16] wave (falls back to the hi side if out of time)
+    #   4. full BFS crawl, best-of-2 (skipped if out of time)
+    # Partial results still print the JSON line.
     lo_cores = int(os.environ.get("BENCH_SCALE_LO", "1"))
     hi_cores = 4 * lo_cores
     draws = int(os.environ.get("BENCH_WAVE_DRAWS", "4"))
     per_child = 2
+    reserve = 800.0  # headline (~300s) + crawl (~400s) + aggregate margin
+
+    queries: dict = {}
+    try:
+        queries = _spawn("queries", CPUS, 0)["queries"]
+    except Exception as e:  # noqa: BLE001 — queries must not kill the bench
+        queries = {"error": str(e)[:500]}
+
     lo_runs: list = []
     hi_runs: list = []
-    while len(lo_runs) < draws or len(hi_runs) < draws:
-        n_lo = min(per_child, draws - len(lo_runs))
-        n_hi = min(per_child, draws - len(hi_runs))
-        if n_lo > 0:
-            lo_runs += _spawn("wave", lo_cores, WAVE_FRONTIER, pin=True, n_runs=n_lo)["runs"]
-        if n_hi > 0:
-            hi_runs += _spawn("wave", hi_cores, WAVE_FRONTIER, pin=True, n_runs=n_hi)["runs"]
-    lo = _wave_side(lo_runs)
-    hi = _wave_side(hi_runs)
-    efficiency = round((hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi_cores / lo_cores), 3)
+    round_wall = 0.0
+    while len(lo_runs) < draws:
+        if lo_runs and _left() - reserve < 1.2 * round_wall:
+            break  # another full round won't fit — keep what we measured
+        t_r = time.time()
+        try:
+            n = min(per_child, draws - len(lo_runs))
+            lo_runs += _spawn("wave", lo_cores, PAIR_FRONTIER, pin=True, n_runs=n)["runs"]
+            hi_runs += _spawn("wave", hi_cores, PAIR_FRONTIER, pin=True, n_runs=n)["runs"]
+        except subprocess.TimeoutExpired:
+            break
+        round_wall = time.time() - t_r
+    lo = _wave_side(lo_runs) if lo_runs else None
+    hi = _wave_side(hi_runs) if hi_runs else None
+    efficiency = (
+        round((hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi_cores / lo_cores), 3)
+        if lo and hi
+        else None
+    )
+
     # headline wave throughput: same job at the host's effective-core width
     # (unpinned — it owns the box), separate from the scaling pair
     full_cores = int(os.environ.get("BENCH_WAVE_FULL_CORES", "16"))
-    wave_full = _wave_side(
-        _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=2)["runs"]
-    )
-    crawl = _spawn("crawl", CPUS, CRAWL_DOCS)
+    wave_full = None
+    if _left() > 420:
+        try:
+            wave_full = _wave_side(
+                _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=2)["runs"]
+            )
+        except subprocess.TimeoutExpired:
+            wave_full = None
+    headline_fallback = wave_full is None
+    if headline_fallback:  # hi side is the best remaining evidence
+        wave_full = hi or lo
 
-    from siteone_crawler_spark.session import get_spark
-
-    spark = get_spark("bench_queries", cores=CPUS, shuffle_partitions=max(CPUS, 16))
-    queries = run_queries(spark)
+    crawl = None
+    if _left() > 180:
+        try:
+            crawl = _spawn("crawl", CPUS, CRAWL_DOCS)
+        except subprocess.TimeoutExpired:
+            crawl = None
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "frontier_throughput_urls_per_sec",
-        "value": wave_full["urls_per_sec"],
+        "value": wave_full["urls_per_sec"] if wave_full else None,
         "unit": "urls/sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -293,22 +356,34 @@ def main() -> None:
             "hi": hi,
             "scaling_efficiency": efficiency,
             "full": wave_full,
+            "headline_fallback": headline_fallback,
         },
         "full_crawl": crawl,
+        "budget": {"budget_s": BUDGET_S, "elapsed_s": round(time.time() - T_START, 1),
+                   "draws_per_side": len(lo_runs)},
     }
     _write_baseline_md(lo, hi, efficiency, crawl, wave_full)
     print(json.dumps(result))
 
 
 def _write_baseline_md(
-    lo: dict, hi: dict, eff: float, crawl: dict, wave_full: dict | None = None
+    lo: dict | None, hi: dict | None, eff: float | None, crawl: dict | None,
+    wave_full: dict | None = None,
 ) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    if lo is None or hi is None:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(
+                "# BENCH/BASELINE — frontier scaling evidence\n\n"
+                "Scaling pair INCOMPLETE this run (budget/timeout); see the\n"
+                "bench JSON line for whatever sections did complete.\n"
+            )
+        return
     full_row = (
         f"| local[{wave_full['cores']}] (headline, unpinned) | "
         f"{wave_full['frontier']} | {wave_full['candidates']} | "
         f"{wave_full['sec']} | {wave_full['urls_per_sec']} |\n"
-        if wave_full
+        if wave_full and wave_full is not hi
         else ""
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -352,9 +427,15 @@ def _write_baseline_md(
             "tmpfs: single-node disk is the one resource that cannot scale\n"
             "with local cores, whereas a real cluster adds disks with every\n"
             "executor.\n\n"
-            "Full BFS crawl (ramp-up waves included): "
-            f"{crawl['urls']} URLs in {crawl['sec']}s at local[{crawl['cores']}] "
-            f"= {crawl['urls_per_sec']} URLs/sec.\n"
+            + (
+                "Full BFS crawl (ramp-up waves included): "
+                f"{crawl['urls']} URLs in {crawl['sec']}s (best of "
+                f"{len(crawl.get('all_runs_sec', [crawl['sec']]))} draws: "
+                f"{crawl.get('all_runs_sec', [crawl['sec']])}) at "
+                f"local[{crawl['cores']}] = {crawl['urls_per_sec']} URLs/sec.\n"
+                if crawl
+                else "Full BFS crawl: skipped this run (budget exhausted).\n"
+            )
         )
 
 

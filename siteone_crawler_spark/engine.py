@@ -337,11 +337,17 @@ class CrawlEngine:
         _t = _time.time()
 
         def _mark(stage: str) -> None:
+            # per-phase wall time always lands in the metrics table as a
+            # `time_us:<phase>` row (rows = microseconds) — the lineage data
+            # behind the content-processors-stats report table; debug mode
+            # additionally prints. Phases after the metrics write itself
+            # (metrics+lineage, commit) can't be recorded, by construction.
             nonlocal _t
+            now = _time.time()
+            metrics.append((wave, f"time_us:{stage}", int((now - _t) * 1e6)))
             if _dbg:
-                now = _time.time()
                 print(f"[wave {wave}] {stage}: {now - _t:.1f}s", flush=True)
-                _t = now
+            _t = now
 
         cfg = self.config
         metrics: list[tuple[int, str, int]] = []
@@ -795,7 +801,9 @@ class CrawlEngine:
         # driver build only for SMALL slices: the pandas path hashes keys
         # single-threaded on the driver (pure serial-tail cost); above the
         # cutoff the per-bucket applyInPandas build scales with cores
-        if slice_rows < 250_000:
+        from .operators.seen import DRIVER_BLOOM_BUILD_MAX_KEYS
+
+        if slice_rows < DRIVER_BLOOM_BUILD_MAX_KEYS:
             self.seen.bloom.add_keys(src.select("url_key", "bucket").toPandas())
         else:
             from .operators.seen import build_bloom_blobs

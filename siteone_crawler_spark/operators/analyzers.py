@@ -245,6 +245,53 @@ def header_stats(visited: DataFrame, unique_cap: int = 10, preview_n: int = 5) -
     )
 
 
+def header_value_stats(visited: DataFrame) -> DataFrame:
+    """The headers-values SuperTable (docs/JSON-OUTPUT.md §5.12 +
+    headers_analyzer.rs value table): one row per unique (header, value)
+    with its occurrence count. Plain explode -> hash-agg — map-side combine
+    compresses the (header, value) keyspace before the shuffle; the
+    presentation layer caps collected rows (high-cardinality headers like
+    set-cookie stay distributed)."""
+    h = (
+        visited.filter(F.col("headers").isNotNull())
+        .select(F.explode("headers").alias("header", "value"))
+    )
+    return (
+        h.groupBy("header", "value")
+        .agg(F.count("*").alias("occurrences"))
+        .select("header", "occurrences", "value")
+        .orderBy("header", F.desc("occurrences"), "value")
+    )
+
+
+def content_processor_stats(metrics: DataFrame) -> DataFrame:
+    """The content-processors-stats SuperTable (docs/JSON-OUTPUT.md §5.26:
+    classAndMethod / execTime / execCount + execTimeFormatted): per engine
+    phase, total wall time and execution count, from the `time_us:<phase>`
+    rows the engine appends to its checkpointed metrics table each wave
+    (engine._run_wave's _mark). The reference times its HTML/CSS/JS
+    processor methods; the Spark engine's unit of execution is the wave
+    phase, so that's the classAndMethod granularity reported here."""
+    t = metrics.filter(F.col("stage").startswith("time_us:"))
+    return (
+        t.groupBy(
+            F.concat(
+                F.lit("CrawlEngine::"),
+                F.regexp_replace("stage", "^time_us:", ""),
+            ).alias("classAndMethod")
+        )
+        .agg(
+            F.round(F.sum("rows") / 1e6, 3).alias("execTime"),
+            F.count("*").alias("execCount"),
+        )
+        .withColumn(
+            "execTimeFormatted",
+            F.concat(F.format_number("execTime", 3), F.lit(" s")),
+        )
+        .orderBy(F.desc("execTime"), "classAndMethod")
+    )
+
+
 def format_support(visited: DataFrame) -> DataFrame:
     """A12 (best_practice_analyzer.rs:864-960): Brotli/WebP/AVIF existence
     aggregates over headers and urls — one global agg row."""

@@ -151,6 +151,72 @@ def dns_stats(probes: DataFrame) -> DataFrame:
     ).orderBy("host")
 
 
+def certificate_info(probes: DataFrame) -> DataFrame:
+    """The certificate-info SuperTable (docs/JSON-OUTPUT.md §5.5: info/value
+    string pairs — Issuer/Subject/Valid from/Valid to/Supported protocols…).
+    Built distributed as an explode of per-host attribute structs; the
+    reference reports a single crawled domain, so multi-host runs emit one
+    block per host introduced by a Host row."""
+    iso = lambda c: F.date_format(F.timestamp_seconds(c), "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    pair = lambda k, v: F.struct(F.lit(k).alias("info"), v.alias("value"))  # noqa: E731
+    attrs = F.array(
+        pair("Host", F.concat_ws(":", F.col("host"), F.col("port").cast("string"))),
+        pair(
+            "Subject",
+            F.when(F.col("subject_empty"), F.lit(""))
+            .when(F.col("has_cn"), F.concat(F.lit("CN="), F.col("host")))
+            .otherwise(F.lit("(no common name)")),
+        ),
+        pair("Valid from", iso(F.col("cert_not_before"))),
+        pair("Valid to", iso(F.col("cert_not_after"))),
+        pair("Signature algorithm", F.col("sig_algorithm")),
+        pair(
+            "Public key",
+            F.concat_ws(" ", F.col("key_algo"), F.col("key_bits").cast("string"), F.lit("bits")),
+        ),
+        pair(
+            "Trusted",
+            F.when(F.col("trusted"), F.lit("yes")).otherwise(
+                F.concat_ws(": ", F.lit("no"), F.coalesce("trust_reason", F.lit("unknown")))
+            ),
+        ),
+        pair("Supported protocols", F.array_join("protocols", ", ")),
+    )
+    return (
+        probes.filter(F.col("connect_error").isNull() & F.col("handshake_ok"))
+        .select("host", F.posexplode(attrs).alias("pos", "a"))
+        .orderBy("host", "pos")
+        .select(F.col("a.info").alias("info"), F.col("a.value").alias("value"))
+    )
+
+
+def dns_info_lines(probes: DataFrame) -> DataFrame:
+    """The dns SuperTable (docs/JSON-OUTPUT.md §5.23: one `info` column — a
+    text tree of the resolution). Per host: the host line, indented CNAME
+    chain, then A/AAAA records (dns_analyzer.rs renders the same tree).
+    flatten+posexplode keeps the tree distributed and ordered."""
+    indent = lambda prefix, arr: F.transform(  # noqa: E731
+        arr, lambda x: F.concat(F.lit("  " + prefix + " "), x)
+    )
+    lines = F.flatten(
+        F.array(
+            F.array(F.col("host")),
+            indent("CNAME", F.col("cnames")),
+            indent("A", F.col("ipv4")),
+            indent("AAAA", F.col("ipv6")),
+            F.when(
+                (F.size("ipv4") == 0) & (F.size("ipv6") == 0),
+                F.array(F.lit("  (unresolved)")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return (
+        probes.select("host", F.posexplode(lines).alias("pos", "info"))
+        .orderBy("host", "pos")
+        .select("info")
+    )
+
+
 def tls_findings(
     probes: DataFrame, now_s: int, accept_invalid_certs: bool = False
 ) -> DataFrame:

@@ -32,6 +32,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# key-slice size above which Bloom bitsets are built DISTRIBUTED (per-bucket
+# applyInPandas, build_bloom_blobs) instead of a single-threaded driver-pandas
+# hash pass — the one cutoff shared by SeenSet.add and the engine's per-wave
+# _bloom_absorb (engine.py), pinned equivalent by test_seen_ordering's
+# builder-path test
+DRIVER_BLOOM_BUILD_MAX_KEYS = 250_000
+
+
 def key_bucket(url_key_col, n_buckets: int):
     return F.pmod(F.xxhash64(url_key_col), F.lit(n_buckets)).cast("int")
 
@@ -147,12 +155,14 @@ class SeenSet:
         """new_keys: DataFrame with url_key column (assumed distinct, unseen).
         Driver-side bloom build only while the slice is modest; the
         distributed per-bucket builder above that (pass n_keys to skip the
-        sizing count)."""
+        sizing count). Same cutoff as the engine's per-wave _bloom_absorb —
+        one constant repo-wide (test_seen_ordering pins builder-path
+        equivalence)."""
         kb = new_keys.select(
             "url_key", key_bucket(F.col("url_key"), self.n_buckets).alias("bucket")
         )
         n = n_keys if n_keys is not None else kb.count()
-        if n < 2_000_000:
+        if n < DRIVER_BLOOM_BUILD_MAX_KEYS:
             self.bloom.add_keys(kb.toPandas())
         else:
             for b, blob in build_bloom_blobs(kb, self.bloom.m, self.bloom.k):

@@ -191,3 +191,35 @@ def seo_summary(html_docs: DataFrame, body_col: str = "body") -> DataFrame:
         F.sum("noindex").cast("long").alias("noindex_pages"),
         F.sum("h1_err").cast("long").alias("h1_count_errors"),
     )
+
+
+def _non_unique(
+    html_docs: DataFrame, field: str, out_col: str, url_col: str, body_col: str
+) -> DataFrame:
+    f = seo_field_exprs(F.col(body_col))
+    vals = html_docs.select(f[field].alias(out_col))
+    return (
+        vals.filter(F.col(out_col).isNotNull() & (F.trim(out_col) != ""))
+        .groupBy(out_col)
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") > 1)
+        .select("count", out_col)
+        .orderBy(F.desc("count"), out_col)
+    )
+
+
+def non_unique_titles(
+    html_docs: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """The non-unique-titles SuperTable (docs/JSON-OUTPUT.md §5.16:
+    count/title — titles appearing on more than one page). Hash-agg over
+    extracted titles; map-side combine keeps the shuffle narrow."""
+    return _non_unique(html_docs, "title", "title", url_col, body_col)
+
+
+def non_unique_descriptions(
+    html_docs: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """The non-unique-descriptions SuperTable (docs/JSON-OUTPUT.md §5.17:
+    count/description)."""
+    return _non_unique(html_docs, "description", "description", url_col, body_col)

@@ -49,17 +49,22 @@ def sitemap_rows(
 
 
 def write_sitemap_xml(visited: DataFrame, path: str) -> int:
-    rows = sitemap_rows(visited).collect()
+    """Single-file sink — inherently driver-side, but STREAMED: rows arrive
+    one partition at a time via toLocalIterator (the sorted plan hands
+    partitions over in range order, so document order is preserved), never
+    a whole-table collect — a 10^8-URL sitemap writes in bounded memory."""
+    n = 0
     with open(path, "w") as f:
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
         f.write('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n')
-        for r in rows:
+        for r in sitemap_rows(visited).toLocalIterator():
             f.write(
                 f"  <url><loc>{_xml_escape(r['url'])}</loc>"
                 f"<priority>{r['priority']:.2f}</priority></url>\n"
             )
+            n += 1
         f.write("</urlset>\n")
-    return len(rows)
+    return n
 
 
 def _xml_escape(s: str) -> str:
@@ -87,14 +92,28 @@ def json_output(
     skipped: DataFrame,
     config=None,
     executed_at: str = "",
-    results_limit: int | None = None,
-    rows_limit: int = 1000,
+    results_limit: int | None = 10000,
+    rows_limit: int = 200,
     html_docs: DataFrame | None = None,
+    probes: DataFrame | None = None,
+    now_s: int = 0,
+    metrics: DataFrame | None = None,
 ) -> dict:
     """S11: the reference's full JSON output shape (docs/JSON-OUTPUT.md §3 —
     8 top-level keys: crawler, extraColumnsFromAnalysis, options,
-    qualityScores, results, stats, summary, tables; table apl-codes from
-    §5). Aggregations run distributed; only the presentation rows collect."""
+    qualityScores, results, stats, summary, tables; all 27 documented table
+    apl-codes from §5). Aggregations run distributed; only the presentation
+    rows collect, and every collect is BOUNDED: `rows_limit` defaults to the
+    reference's --rows-limit (200, core_options.rs:341) and `results_limit`
+    to its --max-visited-urls default (10000, core_options.rs:377 — the
+    most rows a default reference crawl can ever produce); pass None to
+    lift a cap explicitly.
+
+    `probes` is a host-probe table (network.PROBE_SCHEMA) feeding the dns +
+    certificate-info tables; when absent, the deterministic sandbox prober
+    (network.synth_probes at `now_s`) runs over visited's https hosts.
+    `metrics` is the engine's checkpointed metrics table (tables["metrics"]
+    from CrawlEngine.run) feeding content-processors-stats."""
     from dataclasses import asdict
 
     from ..operators import scoring
@@ -151,22 +170,48 @@ def json_output(
         "best-practices": _rows(A.format_support(visited)),
         "analysis-stats": _rows(A.wave_stats(visited), rows_limit),
     }
-    # security header hygiene runs off the visited headers map directly
+    # dns + certificate-info run off a host-probe table (hosts are orders of
+    # magnitude fewer than URLs — the probe is the per-host job); without a
+    # caller-supplied prober result, the deterministic sandbox prober fills in
+    from ..operators import network as N
+
+    p = probes if probes is not None else N.synth_probes(N.probe_targets(visited), now_s)
+    tables["certificate-info"] = _rows(N.certificate_info(p), rows_limit)
+    tables["dns"] = _rows(N.dns_info_lines(p), rows_limit)
+    # engine lineage timings -> the content-processor timing table; an empty
+    # list (not a missing key) when the caller has no metrics table
+    tables["content-processors-stats"] = (
+        _rows(A.content_processor_stats(metrics), rows_limit)
+        if metrics is not None
+        else []
+    )
+    # security header hygiene + header values run off the headers map directly
     if "headers" in visited.columns:
         from ..operators.security import security_stats
 
         tables["security"] = _rows(security_stats(visited), rows_limit)
+        tables["headers-values"] = _rows(A.header_value_stats(visited), rows_limit)
     # content-derived tables need page bodies — included when provided
     if html_docs is not None:
         from ..operators.accessibility import accessibility_summary
         from ..operators.best_practices import best_practice_summary
-        from ..operators.seo import heading_stats, og_stats, seo_stats
+        from ..operators.seo import (
+            heading_stats,
+            non_unique_descriptions,
+            non_unique_titles,
+            og_stats,
+            seo_stats,
+        )
 
         tables["seo"] = _rows(seo_stats(html_docs), rows_limit)
         tables["open-graph"] = _rows(og_stats(html_docs), rows_limit)
         tables["seo-headings"] = _rows(heading_stats(html_docs), rows_limit)
         tables["accessibility"] = _rows(accessibility_summary(html_docs))
         tables["best-practices-content"] = _rows(best_practice_summary(html_docs))
+        tables["non-unique-titles"] = _rows(non_unique_titles(html_docs), rows_limit)
+        tables["non-unique-descriptions"] = _rows(
+            non_unique_descriptions(html_docs), rows_limit
+        )
 
     return {
         "crawler": {
@@ -197,9 +242,10 @@ def json_output(
 
 
 def write_json(
-    visited: DataFrame, skipped: DataFrame, path: str, config=None, executed_at: str = ""
+    visited: DataFrame, skipped: DataFrame, path: str, config=None,
+    executed_at: str = "", **kw,
 ) -> dict:
-    out = json_output(visited, skipped, config=config, executed_at=executed_at)
+    out = json_output(visited, skipped, config=config, executed_at=executed_at, **kw)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, default=str)
@@ -262,13 +308,14 @@ def html_report(
     executed_at: str = "",
     rows_limit: int = 1000,
     html_docs: DataFrame | None = None,
+    **kw,
 ) -> str:
     """S11 HTML report (html_report/report.rs in spirit): one self-contained
     page — quality scores, crawl stats, and every SuperTable from
     json_output() as an HTML table."""
     out = json_output(
         visited, skipped, config=config, executed_at=executed_at,
-        rows_limit=rows_limit, html_docs=html_docs,
+        rows_limit=rows_limit, html_docs=html_docs, **kw,
     )
     qs = out["qualityScores"]
     parts = [
@@ -329,11 +376,11 @@ def _text_table(name: str, rows: list[dict], max_width: int = 60) -> str:
 
 
 def text_output(
-    visited: DataFrame, skipped: DataFrame, config=None, rows_limit: int = 50
+    visited: DataFrame, skipped: DataFrame, config=None, rows_limit: int = 50, **kw
 ) -> str:
     """S11 text output (output/text_output.rs in spirit): fixed-width ASCII
     SuperTables, the console rendering of the same result dict."""
-    out = json_output(visited, skipped, config=config, rows_limit=rows_limit)
+    out = json_output(visited, skipped, config=config, rows_limit=rows_limit, **kw)
     st = out["stats"]
     qs = out["qualityScores"]
     lines = [

@@ -140,6 +140,61 @@ def test_report_with_content_tables(spark, tmp_path, crawl_small):
     assert out["tables"]["accessibility"][0]["pages_missing_lang"] == 0
 
 
+# every `tables` apl-code the reference documents (docs/JSON-OUTPUT.md §5.1-5.27)
+REFERENCE_TABLE_KEYS = {
+    "skipped-summary", "skipped", "redirects", "404", "certificate-info",
+    "fastest-urls", "slowest-urls", "seo", "open-graph", "seo-headings",
+    "headers", "headers-values", "caching-per-content-type",
+    "caching-per-domain", "caching-per-domain-and-content-type",
+    "non-unique-titles", "non-unique-descriptions", "best-practices",
+    "accessibility", "source-domains", "content-types", "content-types-raw",
+    "dns", "security", "analysis-stats", "content-processors-stats",
+    "external-urls",
+}
+
+
+def test_json_tables_full_parity(spark, crawl_small):
+    """All 27 documented reference tables are emitted when bodies + engine
+    metrics are supplied, with the documented column shapes."""
+    from siteone_crawler_spark.sources.exporters import json_output
+
+    docs = spark.createDataFrame(
+        [
+            ("https://h.test/a", "<html><head><title>Same</title>"
+             "<meta name='description' content='D'></head><body></body></html>"),
+            ("https://h.test/b", "<html><head><title>Same</title>"
+             "<meta name='description' content='D'></head><body></body></html>"),
+            ("https://h.test/c", "<html><head><title>Other</title></head>"
+             "<body></body></html>"),
+        ],
+        "url string, body string",
+    )
+    out = json_output(
+        crawl_small["visited"], crawl_small["skipped"], html_docs=docs,
+        metrics=crawl_small["metrics"], now_s=1_700_000_000,
+    )
+    assert len(REFERENCE_TABLE_KEYS) == 27
+    missing = REFERENCE_TABLE_KEYS - set(out["tables"])
+    assert not missing, f"missing reference tables: {sorted(missing)}"
+
+    dns = out["tables"]["dns"]
+    assert dns and set(dns[0]) == {"info"}
+    cert = out["tables"]["certificate-info"]
+    assert cert and set(cert[0]) == {"info", "value"}
+    assert {r["info"] for r in cert} >= {"Host", "Valid from", "Valid to"}
+    hv = out["tables"]["headers-values"]
+    assert hv and set(hv[0]) == {"header", "occurrences", "value"}
+    cps = out["tables"]["content-processors-stats"]
+    assert cps and set(cps[0]) == {
+        "classAndMethod", "execTime", "execCount", "execTimeFormatted"
+    }
+    assert all(r["classAndMethod"].startswith("CrawlEngine::") for r in cps)
+    nut = out["tables"]["non-unique-titles"]
+    assert nut == [{"count": 2, "title": "Same"}]
+    nud = out["tables"]["non-unique-descriptions"]
+    assert nud == [{"count": 2, "description": "D"}]
+
+
 def test_markdown_spans(spark):
     from siteone_crawler_spark.sources.exporters import markdown_spans
 
