@@ -233,7 +233,7 @@ WITH d0 AS (
 
 
 # ----------------------------------------------------------------- queries
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def sqlq(sql: str):
@@ -1111,31 +1111,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dns_stats_resolve"] = q_dns_resolve
 
-    # The driver checks queries() in dict order (first N). Keep every entry
-    # that certifies repo operators in the head; push generic SQL-dialect
-    # twins (they certify Spark-vs-DuckDB, not repo code) and superseded
-    # proxies (duplicate_titles -> duplicate_titles_meta, headers_stats ->
-    # header_stats_map) to the tail.
-    tail = [
-        "duplicate_titles",
-        "headers_stats",
-        "tpch_q1",
-        "window_rank",
-        "sessionize",
-        "windowed_counts",
-        "union_distinct",
-        "semi_join_exists",
-        "cube_stats",
-        "existence_flags",
-        "join_agg_enrich",
-    ]
-    head = {k: v for k, v in q.items() if k not in tail}
-    head.update({k: q[k] for k in tail if k in q})
+    head = {k: v for k, v in q.items() if k not in _DIALECT_TWINS}
+    head.update({k: q[k] for k in _DIALECT_TWINS if k in q})
     return head
 
 
+# Generic Spark-vs-DuckDB dialect twins (they certify SQL dialects, not repo
+# operators) and superseded proxies (duplicate_titles ->
+# duplicate_titles_meta, headers_stats -> header_stats_map). NOT part of the
+# driver contract — every driver-checked queries() entry certifies a repo
+# operator, so defined == checked — but still runnable: extra_queries() /
+# extra_oracle_sql() keep them under the local pytest oracle gate
+# (tests/test_entry_oracle.py) and the bench.
+_DIALECT_TWINS = (
+    "duplicate_titles",
+    "headers_stats",
+    "tpch_q1",
+    "window_rank",
+    "sessionize",
+    "windowed_counts",
+    "union_distinct",
+    "semi_join_exists",
+    "cube_stats",
+    "existence_flags",
+    "join_agg_enrich",
+)
+
+
+def queries() -> dict:
+    all_q = _all_queries()
+    return {k: v for k, v in all_q.items() if k not in _DIALECT_TWINS}
+
+
+def extra_queries() -> dict:
+    all_q = _all_queries()
+    return {k: all_q[k] for k in _DIALECT_TWINS if k in all_q}
+
+
 # -------------------------------------------------------------- oracle SQL
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["url_canonicalize"] = (
@@ -2022,3 +2036,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12"""
 
     return o
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items() if k not in _DIALECT_TWINS}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items() if k in _DIALECT_TWINS}

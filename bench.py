@@ -183,7 +183,7 @@ def run_queries(spark) -> dict:
         "url_dedup_first_wins", "extract_links", "simhash_near_pairs",
         "knn_ivf_topk", "security_stats", "seo_meta",
     ]
-    qs = E.queries()
+    qs = {**E.queries(), **E.extra_queries()}
     out = {}
     for name in names:
         t0 = time.time()

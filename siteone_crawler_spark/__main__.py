@@ -48,6 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable-files", action="store_true")
     p.add_argument("--single-page", action="store_true")
     p.add_argument("--single-foreign-page", action="store_true")
+    # politeness (core_options.rs:362-363, 328): workers/rate cap/timeout.
+    # In the wave model the global rate limiter becomes a per-wave admission
+    # cap of max_reqs_per_sec * wave_seconds rows in BFS (depth, seq) order;
+    # --wave-seconds (>0) is the Spark-wave time base that turns it on.
+    p.add_argument("--workers", type=int, default=3)
+    p.add_argument("--max-reqs-per-sec", type=float, default=10.0)
+    p.add_argument("--timeout", type=float, default=5.0,
+                   help="request timeout in seconds; recorded fetches slower "
+                        "than this become transport-error -2")
+    p.add_argument("--wave-seconds", type=float, default=0.0,
+                   help=">0: politeness on — each wave admits at most "
+                        "max-reqs-per-sec * wave-seconds URLs")
     p.add_argument("--resolve", action="append", default=[],
                    help="domain:port:ip forced resolution (curl syntax)")
     p.add_argument("--extra-columns", action="append", default=[],
@@ -99,6 +111,15 @@ def config_from_args(a) -> "CrawlConfig":
         single_foreign_page=a.single_foreign_page,
         resolve=tuple(a.resolve),
         max_waves=a.max_waves,
+        workers=a.workers,
+        max_reqs_per_sec=a.max_reqs_per_sec,
+        request_timeout_s=a.timeout,
+        wave_seconds=a.wave_seconds,
+        global_wave_budget=(
+            int(a.max_reqs_per_sec * a.wave_seconds)
+            if a.wave_seconds > 0 and a.max_reqs_per_sec > 0
+            else 0
+        ),
     )
 
 
@@ -168,15 +189,38 @@ def main(argv: list[str] | None = None) -> int:
                 robots = json.load(f)
         seeds = [(u, 5) for u in a.url.split(",")]
 
+    from pyspark.sql import functions as F
+
+    # --timeout (core_options.rs:328): in the offline fetch model, recorded
+    # fetches slower than the timeout fail with transport-error -2 (the
+    # Timeout family, visited_url.rs) before the engine sees them
+    if cfg.request_timeout_s > 0 and "request_time_ms" in meta.columns:
+        meta = meta.withColumn(
+            "status_code",
+            F.when(
+                (F.col("status_code") >= 100)
+                & (F.col("request_time_ms") > cfg.request_timeout_s * 1000.0),
+                F.lit(-2),
+            ).otherwise(F.col("status_code")),
+        )
+
     ckpt = a.checkpoint_dir or tempfile.mkdtemp(prefix="crawl_ckpt_")
     eng = CrawlEngine(spark, cfg, ckpt)
     tables = eng.run(docs, meta, robots, seeds)
     visited, skipped = tables["visited"], tables["skipped"]
 
     if a.extra_columns and "url" in visited.columns:
+        # extra columns evaluate against the fetched HTML body, not the URL
+        # (crawler.rs:930 extract_value(body)) — join visited to the rendered
+        # doc bodies; rows without a body (assets, errors) extract to NULL
         from .functions.extra_columns import with_extra_columns
 
-        visited = with_extra_columns(visited, a.extra_columns, text_col="url")
+        bodies = _docs_to_html(docs, meta).select(
+            F.col("doc_id").alias("url"), "body"
+        )
+        visited = with_extra_columns(
+            visited.join(bodies, "url", "left"), a.extra_columns, text_col="body"
+        ).drop("body")
 
     n = visited.count()
     print(f"crawled {n} URLs in {time.time() - t0:.1f}s "
@@ -190,11 +234,16 @@ def main(argv: list[str] | None = None) -> int:
     if a.output_json_file:
         from .sources.exporters import write_json
 
-        write_json(visited, skipped, a.output_json_file)
+        write_json(
+            visited, skipped, a.output_json_file, config=cfg,
+            metrics=tables["metrics"],
+        )
     if a.output_html_file or a.mail_eml_file or a.upload_payload_file:
         from .sources.exporters import html_report
 
-        report_html = html_report(visited, skipped)
+        report_html = html_report(
+            visited, skipped, config=cfg, metrics=tables["metrics"]
+        )
         if a.output_html_file:
             with open(a.output_html_file, "w", encoding="utf-8") as f:
                 f.write(report_html)
@@ -206,7 +255,14 @@ def main(argv: list[str] | None = None) -> int:
 
     html_docs = None
     if a.offline_export_dir or a.markdown_export_dir:
-        html_docs = _docs_to_html(docs, meta)
+        # the reference stores files only for URLs actually crawled with
+        # content (file_storage writes on fetch) — pages beyond max-depth/
+        # max-visited or regex-filtered must not be exported: semi-join the
+        # docs table on the visited 200s before rendering
+        crawled = visited.filter(F.col("status_code") == 200).select(
+            F.col("url").alias("doc_id")
+        )
+        html_docs = _docs_to_html(docs.join(crawled, "doc_id", "left_semi"), meta)
     if a.offline_export_dir and html_docs is not None:
         from .sources.offline import export_offline_site
 

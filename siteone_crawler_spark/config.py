@@ -37,6 +37,15 @@ def normalize_pcre_pattern(s: str) -> str:
 class CrawlConfig:
     workers: int = 1  # parity fixtures pin workers=1 BFS semantics
     max_reqs_per_sec: float = 10.0
+    # --timeout (core_options.rs:328, default 5s): in the offline fetch
+    # model, requests whose recorded request_time_ms exceeds this become
+    # transport-error -2 (Timeout family, visited_url.rs). 0 = disabled.
+    request_timeout_s: float = 5.0
+    # the reference's GLOBAL rate limiter (crawler.rs:540-569) mapped onto
+    # the wave model: >0 admits only the first N pending rows per wave in
+    # (depth, seq) BFS order — the CLI derives it as
+    # max_reqs_per_sec * wave_seconds. 0 = off (parity default).
+    global_wave_budget: int = 0
     max_queue_length: int = 9000
     max_visited_urls: int = 10000
     max_url_length: int = 2083

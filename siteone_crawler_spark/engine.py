@@ -1054,8 +1054,37 @@ class CrawlEngine:
         splits the host partition by a url hash salt (budget divided across
         salts) so no single task ranks a mega-host alone."""
         cfg = self.config
-        if cfg.per_host_wave_budget <= 0 and cfg.wave_seconds <= 0:
+        if (
+            cfg.per_host_wave_budget <= 0
+            and cfg.wave_seconds <= 0
+            and cfg.global_wave_budget <= 0
+        ):
             return pending, None
+
+        # global budget first (the reference's single global rate limiter,
+        # crawler.rs:540-569: first K requests in queue order): find the
+        # K-th smallest (depth, seq) via TakeOrdered — a config-sized top-K,
+        # partial per partition then one K-row reduce, never a global sort
+        # of the frontier — and admit rows at-or-under the bound. seq is
+        # globally unique, so the cut is exact.
+        global_deferred = None
+        if cfg.global_wave_budget > 0:
+            k = cfg.global_wave_budget
+            row = (
+                pending.select("depth", "seq")
+                .orderBy("depth", "seq")
+                .limit(k)
+                .agg(F.max(F.struct("depth", "seq")).alias("b"))
+                .collect()[0]["b"]
+            )
+            if row is not None:
+                within = (F.col("depth") < row["depth"]) | (
+                    (F.col("depth") == row["depth"]) & (F.col("seq") <= row["seq"])
+                )
+                global_deferred = pending.filter(~within)
+                pending = pending.filter(within)
+        if cfg.per_host_wave_budget <= 0 and cfg.wave_seconds <= 0:
+            return pending, global_deferred
 
         budgets = []
         if cfg.per_host_wave_budget > 0:
@@ -1099,6 +1128,8 @@ class CrawlEngine:
         )
         admitted = ranked.filter(F.col("__hr") <= F.col("__budget")).drop("__hr", "__budget")
         deferred = ranked.filter(F.col("__hr") > F.col("__budget")).drop("__hr", "__budget")
+        if global_deferred is not None:
+            deferred = deferred.unionByName(global_deferred)
         return admitted, deferred
 
     def _final_tables(self, last_wave: int) -> dict:

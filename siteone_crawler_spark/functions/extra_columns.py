@@ -10,8 +10,14 @@ xpath surface exactly (extra_column.rs:180-234: the xpath is converted to a
 CSS selector — tag / [attr='value'] / child (>) / descendant combinators —
 evaluated against a parsed DOM; `/text()` means text content, a trailing
 `/@attr` reads an attribute, `#N` picks the N-th match in document order).
-The reference supports nothing beyond this CSS-convertible subset, so this
-is full F15 parity, not a stub."""
+The reference supports nothing beyond this CSS-convertible subset.
+
+One deliberate SUPERSET beyond observed reference behavior: xpath attribute
+predicates (`//meta[@name='author']/@content`). The reference's
+xpath_to_css never strips the `@` inside `[...]`, so Selector::parse fails
+and such specs return None there (its docs describe them working; its code
+does not) — here the `[@attr]` -> `[attr]` rewrite makes them actually
+work. Everything else matches the reference's implemented surface."""
 
 from __future__ import annotations
 
@@ -39,15 +45,23 @@ _RE_CUSTOM = re.compile(r"^([^=]+)=(xpath|regexp):(.+?)(?:#(\d+))?(?:\((\d+)(>?)
 _RE_PLAIN = re.compile(r"^([^=()]+)(?:\((\d+)(>?)\))?$")
 
 
+# plain columns named Title/Description/Keywords default to a 20-char
+# display width (extra_column.rs default_column_size, pinned by its
+# parse_simple_name_uses_default_length test); others fall back to len(name)
+_DEFAULT_COLUMN_SIZE = {"Title": 20, "Description": 20, "Keywords": 20}
+
+
 def parse_extra_column(arg: str) -> ExtraColumn:
     """Parse CLI-style specs (reference extra_column.rs:97-150 grammar,
     re-derived): 'Name=regexp:<title>(.+?)</title>#1', the legacy-delimited
-    'Name=regexp:/pat/#1', 'Name=xpath://h1/text()', 'Name(30>)'."""
+    'Name=regexp:/pat/#1', 'Name=xpath://h1/text()', 'Name(30>)'. An
+    unparseable custom spec falls back to a plain column named by the whole
+    text (from_text's "If parsing of the custom syntax fails" branch)."""
     arg = arg.strip()
     if "=" in arg:
         m = _RE_CUSTOM.match(arg)
         if not m:
-            raise ValueError(f"bad extra-column spec: {arg!r}")
+            return ExtraColumn(arg, "plain", "", 0, None, truncate=True)
         name, kind, pattern, group, length, notrunc = m.groups()
         pattern = pattern.strip()
         if kind == "regexp":
@@ -67,9 +81,11 @@ def parse_extra_column(arg: str) -> ExtraColumn:
     if not m:
         raise ValueError(f"bad extra-column spec: {arg!r}")
     name, length, notrunc = m.groups()
+    name = name.strip()
     return ExtraColumn(
-        name.strip(), "plain", "", 0,
-        int(length) if length else None, truncate=not notrunc,
+        name, "plain", "", 0,
+        int(length) if length else _DEFAULT_COLUMN_SIZE.get(name),
+        truncate=not notrunc,
     )
 
 
@@ -243,8 +259,10 @@ def truncated_value(spec: ExtraColumn, value: str | None) -> str | None:
 
 def extra_column_expr(spec: ExtraColumn, text_col) -> Column:
     if spec.kind == "regexp":
-        # native, codegen'd — the fast path for the common case
-        return F.regexp_extract(text_col, spec.spec, spec.group)
+        # native, codegen'd — the fast path for the common case; '' -> NULL
+        # because the reference's extract_value returns None on no-match
+        # (regexp_extract's empty-string-on-miss would differ)
+        return F.nullif(F.regexp_extract(text_col, spec.spec, spec.group), F.lit(""))
     if spec.kind == "plain":
         return text_col
     if spec.spec in ("//text()", "string(.)"):

@@ -44,3 +44,38 @@ def test_cli_requires_data_plane(capsys):
     from siteone_crawler_spark.__main__ import main
 
     assert main(["--url", "https://x.test/"]) == 2
+
+
+def test_cli_politeness_flags(spark, tmp_path):
+    """--workers/--max-reqs-per-sec/--timeout (core_options.rs:328,362-363)
+    reach CrawlConfig and are operative: the global rate budget admits at
+    most max_reqs_per_sec * wave_seconds URLs per wave, and recorded fetches
+    slower than the timeout fail with transport-error -2."""
+    import json
+
+    from siteone_crawler_spark.__main__ import main
+
+    out_json = str(tmp_path / "r.json")
+    rc = main([
+        "--synthetic-docs", "400",
+        "--allowed-domains", "*.bench.test",
+        "--max-waves", "3",
+        "--cores", "8",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--workers", "2",
+        "--max-reqs-per-sec", "6",
+        "--wave-seconds", "1",
+        "--timeout", "1",
+        "--output-json-file", out_json,
+    ])
+    assert rc == 0
+    rep = json.load(open(out_json))
+    # global budget = 6 urls/wave * 3 waves is a hard ceiling
+    assert 0 < rep["stats"]["totalUrls"] <= 18
+    # synthetic latencies span 0..5000ms, so a 1s timeout must produce -2s
+    assert "-2" in rep["stats"]["countByStatus"]
+    # the flags landed in the recorded options block
+    assert rep["options"]["workers"] == 2
+    assert rep["options"]["max_reqs_per_sec"] == 6.0
+    assert rep["options"]["request_timeout_s"] == 1.0
+    assert rep["options"]["global_wave_budget"] == 6

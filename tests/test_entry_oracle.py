@@ -40,8 +40,10 @@ def normalize(rows, cols):
     return sorted(out, key=repr)
 
 
-ORACLES = entry_mod.oracle_sql()
-ALL_QUERIES = entry_mod.queries()
+# the driver contract (queries/oracle_sql) plus the local-only dialect twins
+# (extra_*) — pytest certifies both; the driver gate sees only the former
+ORACLES = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
+ALL_QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))

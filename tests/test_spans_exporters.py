@@ -223,7 +223,8 @@ def test_extra_columns(spark):
     assert out[0]["Title"] == "Hello World"
     assert out[0]["Num"] == "42"
     assert out[0]["All"] == out[0]["text"]
-    assert out[1]["Title"] == ""
+    # no-match -> NULL (reference extract_value returns None, never "")
+    assert out[1]["Title"] is None
 
     spec = parse_extra_column("X=regexp:/a(b)c/#1")
     assert spec.group == 1 and spec.spec == "a(b)c"
@@ -234,8 +235,19 @@ def test_extra_columns(spark):
     # bare names are plain passthrough columns (extra_column.rs from_text)
     plain = parse_extra_column("Wide(30>)")
     assert plain.kind == "plain" and plain.length == 30 and not plain.truncate
-    with pytest.raises(ValueError):
-        parse_extra_column("X=foo:bar")
+    # unparseable custom spec -> plain column named by the whole text
+    # (from_text's custom-syntax-failure branch, extra_column.rs:131-133)
+    fb = parse_extra_column("X=foo:bar")
+    assert fb.kind == "plain" and fb.name == "X=foo:bar"
+    # Title/Description/Keywords get the 20-char default display width
+    # (default_column_size, extra_column.rs:25-32)
+    from siteone_crawler_spark.functions.extra_columns import truncated_value
+
+    t = parse_extra_column("Title")
+    assert t.length == 20
+    long_title = "An Extremely Long Page Title Indeed"
+    assert truncated_value(t, long_title) == long_title[:19].strip() + "…"
+    assert parse_extra_column("Other").length is None
 
 
 def test_extra_columns_xpath(spark):
