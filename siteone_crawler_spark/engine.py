@@ -194,6 +194,9 @@ class CrawlEngine:
             cfg.remove_query_params,
             list(cfg.keep_query_params) or None,
             robots_rules=None if cfg.ignore_robots_txt else rules,
+            # uq_id/url_key are recomputed natively (F.md5) in
+            # _resolve_candidates — keeps the Arrow kernel hash-free
+            with_key=False,
         )
         docs = docs.withColumnRenamed("doc_id", "__doc_url")
         if "headers" not in meta.columns:
@@ -578,10 +581,16 @@ class CrawlEngine:
         c = cand.repartition(self.spark.sparkContext.defaultParallelism * 2)
         c = c.withColumn("r", self._resolve(F.col("base"), F.col("href")))
         c = c.filter(F.col("r.valid"))  # P1/P2/P6 — invalid dropped silently
+        # url_key/uq_id natively: Spark md5(str) is bit-identical to the
+        # kernel's hashlib.md5(utf8).hexdigest() (the UDF was built with
+        # with_key=False), so the last Python hashing leaves the hot loop.
+        # The UDF output is already materialized (nondeterministic node), so
+        # computing md5 twice here is two cheap JVM exprs, not two UDF runs.
+        native_key = F.md5(F.col("r.canon_url"))
         c = c.select(
             F.col("r.canon_url").alias("url"),
-            F.col("r.url_key").alias("url_key"),
-            F.col("r.uq_id").alias("uq_id"),
+            native_key.alias("url_key"),
+            F.substring(native_key, 1, 8).alias("uq_id"),
             F.col("r.host").alias("host"),
             F.col("r.path").alias("path"),
             F.col("r.ext").alias("ext"),

@@ -194,6 +194,7 @@ def canonicalize(
     initial_scheme: str = "https",
     remove_query_params: bool = False,
     keep_query_params: list[str] | None = None,
+    with_key: bool = True,
 ) -> dict:
     """Canonicalize an absolute URL. Returns a dict of parsed fields plus the
     rebuilt canonical url, uq_id (md5[:8]) and key (full md5 hex).
@@ -224,7 +225,11 @@ def canonicalize(
 
     portpart = "" if port == DEFAULT_PORTS.get(scheme) else f":{port}"
     canon = f"{scheme}://{host}{portpart}{path}" + (f"?{query}" if query else "")
-    key = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    # with_key=False skips the Python md5 — callers that sit in front of a
+    # DataFrame plan (the engine's resolve UDF) recompute the IDENTICAL key
+    # natively as F.md5(canon_url), JVM-side; the simulator and driver-side
+    # one-off callers keep the in-Python key
+    key = hashlib.md5(canon.encode("utf-8")).hexdigest() if with_key else ""
     return {
         "canon_url": canon,
         "scheme": scheme,
@@ -267,6 +272,7 @@ def resolve_candidate(
     initial_scheme: str = "https",
     remove_query_params: bool = False,
     keep_query_params: list[str] | None = None,
+    with_key: bool = True,
 ) -> dict:
     """Full per-candidate kernel: normalize -> validate -> absolutize ->
     canonicalize. The simulator and the Spark UDF both call this."""
@@ -277,7 +283,8 @@ def resolve_candidate(
     if not absu:
         return _invalid()
     return canonicalize(
-        absu, initial_host, initial_scheme, remove_query_params, keep_query_params
+        absu, initial_host, initial_scheme, remove_query_params, keep_query_params,
+        with_key=with_key,
     )
 
 
@@ -313,6 +320,7 @@ def make_resolve_udf(
     remove_query_params: bool = False,
     keep_query_params: list[str] | None = None,
     robots_rules: dict | None = None,
+    with_key: bool = True,
 ):
     """Arrow-batched pandas UDF: (base_url, href) -> CANON_STRUCT.
 
@@ -324,6 +332,12 @@ def make_resolve_udf(
     When `robots_rules` ({host: RobotsRules}) is given, the robots matcher
     runs in the SAME Arrow batch (one Python exchange per wave instead of
     two) and fills the struct's robots_ok field; otherwise robots_ok=True.
+
+    `with_key=False` skips the Python md5 inside the kernel (uq_id/url_key
+    come back as "") — the engine recomputes the IDENTICAL key natively as
+    F.md5(canon_url) post-UDF, JVM-side, removing the last Python hashing
+    from the wave hot loop. hashlib.md5(utf8).hexdigest() == Spark md5(str)
+    bit-for-bit, so fixture parity is unaffected.
     """
     kp = list(keep_query_params) if keep_query_params else None
 
@@ -342,7 +356,8 @@ def make_resolve_udf(
             r = cache.get(key)
             if r is None:
                 r = resolve_candidate(
-                    b, h, initial_host, initial_scheme, remove_query_params, kp
+                    b, h, initial_host, initial_scheme, remove_query_params, kp,
+                    with_key=with_key,
                 )
                 r["robots_ok"] = (
                     True

@@ -169,3 +169,37 @@ def test_resolve_udf_matches_kernel(spark):
         assert r["c"]["canon_url"] == k["canon_url"]
         assert r["c"]["valid"] == k["valid"]
         assert r["c"]["url_key"] == k["url_key"]
+
+
+def test_native_md5_key_matches_python_kernel(spark):
+    """Engine path parity: make_resolve_udf(with_key=False) + F.md5(canon_url)
+    must reproduce the Python kernel's url_key/uq_id bit-for-bit (the engine
+    computes the key JVM-side to keep hashing out of the Arrow kernel)."""
+    from siteone_crawler_spark.functions.urls import make_resolve_udf
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("https://a.test/dir/page.html", "../other?x=1&amp;y=2#top"),
+        ("https://a.test/", "//B.TEST/y"),
+        ("https://a.test/p/", "./q/../r"),
+        ("https://a.test/", "/café/über?z=%20"),
+    ]
+    df = spark.createDataFrame(rows, "base string, href string")
+    udf = make_resolve_udf("a.test", "https", with_key=False)
+    key = F.md5(F.col("c.canon_url"))
+    out = (
+        df.select("base", "href", udf("base", "href").alias("c"))
+        .filter(F.col("c.valid"))
+        .select(
+            "base", "href", F.col("c.canon_url").alias("url"),
+            key.alias("url_key"), F.substring(key, 1, 8).alias("uq_id"),
+            F.col("c.url_key").alias("kernel_key"),
+        )
+        .collect()
+    )
+    assert out, "expected valid rows"
+    for r in out:
+        k = resolve_candidate(r["base"], r["href"], "a.test", "https")
+        assert r["kernel_key"] == ""  # kernel skipped the hash
+        assert r["url_key"] == k["url_key"]
+        assert r["uq_id"] == k["uq_id"]
