@@ -311,8 +311,8 @@ def main() -> None:
             n = min(per_child, draws - len(lo_runs))
             lo_runs += _spawn("wave", lo_cores, PAIR_FRONTIER, pin=True, n_runs=n)["runs"]
             hi_runs += _spawn("wave", hi_cores, PAIR_FRONTIER, pin=True, n_runs=n)["runs"]
-        except subprocess.TimeoutExpired:
-            break
+        except Exception:  # noqa: BLE001 — timeout OR child crash: keep what
+            break  # we measured; the JSON line must always print
         round_wall = time.time() - t_r
     lo = _wave_side(lo_runs) if lo_runs else None
     hi = _wave_side(hi_runs) if hi_runs else None
@@ -331,7 +331,7 @@ def main() -> None:
             wave_full = _wave_side(
                 _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=2)["runs"]
             )
-        except subprocess.TimeoutExpired:
+        except Exception:  # noqa: BLE001
             wave_full = None
     headline_fallback = wave_full is None
     if headline_fallback:  # hi side is the best remaining evidence
@@ -341,7 +341,7 @@ def main() -> None:
     if _left() > 180:
         try:
             crawl = _spawn("crawl", CPUS, CRAWL_DOCS)
-        except subprocess.TimeoutExpired:
+        except Exception:  # noqa: BLE001
             crawl = None
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -362,8 +362,9 @@ def main() -> None:
         "budget": {"budget_s": BUDGET_S, "elapsed_s": round(time.time() - T_START, 1),
                    "draws_per_side": len(lo_runs)},
     }
-    _write_baseline_md(lo, hi, efficiency, crawl, wave_full)
     print(json.dumps(result))
+    sys.stdout.flush()
+    _write_baseline_md(lo, hi, efficiency, crawl, wave_full)
 
 
 def _write_baseline_md(

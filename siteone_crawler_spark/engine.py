@@ -58,7 +58,12 @@ from .config import (
     CrawlConfig,
 )
 from .functions.robots import compile_rules_map, is_allowed
-from .functions.urls import HTMLISH_EXTENSIONS, canonicalize, make_resolve_udf
+from .functions.urls import (
+    HTMLISH_EXTENSIONS,
+    canonicalize,
+    href_valid_col,
+    make_resolve_udf,
+)
 from .operators.ordering import with_global_seq
 from .operators.seen import BloomState, SeenSet, key_bucket
 from .sources.checkpoint import CheckpointStore
@@ -574,11 +579,17 @@ class CrawlEngine:
         The cache handle is parked on self._wave_caches and released at
         wave end."""
         cfg = self.config
+        # definitely-invalid hrefs (fragment-only, mailto:/javascript:,
+        # template garbage) are dropped NATIVELY before the shuffle and the
+        # Arrow exchange — P1/P2 drops are silent, and the predicate is an
+        # exact Catalyst replica of the kernel's validity check (pinned by a
+        # property test), so this is a pure short-circuit
+        c = cand.filter(href_valid_col(F.col("href")))
         # AQE coalesces the (small) upstream join output to ~1 partition; the
         # exploded candidate set is 10-50x bigger and about to hit the Python
         # kernel — spread it across the executors first. The shuffle moves
         # only (base, href) strings and buys full-parallel UDF execution.
-        c = cand.repartition(self.spark.sparkContext.defaultParallelism * 2)
+        c = c.repartition(self.spark.sparkContext.defaultParallelism * 2)
         c = c.withColumn("r", self._resolve(F.col("base"), F.col("href")))
         c = c.filter(F.col("r.valid"))  # P1/P2/P6 — invalid dropped silently
         # url_key/uq_id natively: Spark md5(str) is bit-identical to the

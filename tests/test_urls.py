@@ -203,3 +203,45 @@ def test_native_md5_key_matches_python_kernel(spark):
         assert r["kernel_key"] == ""  # kernel skipped the hash
         assert r["url_key"] == k["url_key"]
         assert r["uq_id"] == k["uq_id"]
+
+
+def test_href_valid_col_matches_python_kernel(spark):
+    """The engine's native pre-UDF href filter (href_valid_col) must agree
+    with is_href_valid(normalize_href(h)) on every input — it short-circuits
+    the Arrow exchange, so any disagreement would silently change P1/P2."""
+    import random
+
+    from siteone_crawler_spark.functions.urls import (
+        href_valid_col, is_href_valid, normalize_href,
+    )
+    import pyspark.sql.functions as F
+
+    curated = [
+        None, "", "   ", "#", "#top", " '#x' ", "mailto:x@y", "MAILTO:x@y",
+        "javascript:void(0)", "tel:+420", "data:text/plain;base64,xx",
+        "about:blank", "https://a.test/x", "HTTP://A/B", "//host/p",
+        "../rel", "./x", "/abs", "?q=1", "x.html", "{{ template }}",
+        "<b>", "a&#160;b", "a&#38;b", "a&amp;b", "\"quoted\"", "'q'",
+        "\t#frag", " \"  ' mixed '\" ", "ht+tp:x", "a:b", "a1+.-x:y",
+        "x\ty", "x\ny", "\"\"", "''", "週https://a/b", ":nocolonstart",
+        "&#38;", "  &amp;  ", "foo#bar", "https://a/#b",
+        # Python str.strip() whitespace that F.trim would miss
+        "\xa0#x", "　mailto:a@b", "\x0c'#y'", "\x1c\x1dhttps://a",
+        " tel:1", "\x85 {t}", "\xa0", "  ", "x\xa0y",
+    ]
+    # deterministic fuzz corpus over the alphabet the kernels care about
+    fuzz = [
+        "".join(random.Random(42 + i).choices(
+            "abcDE#{}<>&;:/.?='\"\t\n\r\x0b\x1d\x85\xa0　  +-@%週",
+            k=(i % 24)))
+        for i in range(400)
+    ]
+    vals = curated + fuzz
+    df = spark.createDataFrame([(v,) for v in vals], "href string")
+    got = {
+        r["href"]: r["ok"]
+        for r in df.select("href", href_valid_col(F.col("href")).alias("ok")).collect()
+    }
+    for v in vals:
+        want = is_href_valid(normalize_href(v))
+        assert got[v] == want, (repr(v), got[v], want)
