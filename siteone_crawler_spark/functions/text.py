@@ -140,3 +140,18 @@ def word_shingles(col, n: int = 3) -> Column:
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(col, n: int = 3) -> Column:
+    """Gopher-style duplicate n-gram fraction: 1 - distinct/total over the
+    word n-gram shingles; 0.0 for docs with fewer than n tokens. High values
+    flag boilerplate / machine-looped text a training pipeline should drop.
+
+    Per-row native arithmetic (one integer subtraction + one IEEE division)
+    — no shuffle, no UDF, and bit-identical across engines, so the DuckDB
+    oracle twin needs no rounding slack."""
+    sh = word_shingles(col, n)
+    return F.when(
+        F.size(sh) > 0,
+        (F.size(sh) - F.size(F.array_distinct(sh))).cast("double") / F.size(sh),
+    ).otherwise(F.lit(0.0))

@@ -1,0 +1,99 @@
+"""Deterministic sampling + repetition operators (operators/sampling.py,
+functions/text.ngram_repetition).
+
+The value-level Spark-vs-DuckDB oracle compare for these runs in
+tests/test_entry_oracle.py (hash_sample / stratified_sample /
+repetition_ratio); here we pin the operator-level contracts: determinism
+under re-partitioning, rate accuracy, per-stratum caps, and the
+WindowGroupLimit physical rewrite that makes the stratified cap viable at
+scale."""
+
+from pyspark.sql import functions as F
+
+from siteone_crawler_spark.functions.text import ngram_repetition
+from siteone_crawler_spark.operators.sampling import (
+    hash_sample,
+    sample_threshold_hex,
+    stratified_sample,
+)
+
+
+def _keys_df(spark, n=20000, parts=7):
+    return spark.range(n).repartition(parts).withColumn(
+        "k", F.concat(F.lit("key-"), F.col("id"))
+    )
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = _keys_df(spark)
+    got = hash_sample(df, "k", rate=0.25, salt="a")
+    n = got.count()
+    # md5 is uniform: 20000 draws at p=0.25 -> 5000 +- ~5 sigma (306)
+    assert abs(n - 5000) < 320, n
+    # content-addressed: identical membership regardless of partitioning
+    ids1 = {r["id"] for r in got.collect()}
+    ids2 = {
+        r["id"]
+        for r in hash_sample(_keys_df(spark, parts=3), "k", 0.25, "a").collect()
+    }
+    assert ids1 == ids2
+    # a different salt draws an independent sample (not the same rows)
+    ids3 = {r["id"] for r in hash_sample(df, "k", 0.25, "b").collect()}
+    assert ids3 != ids1
+    overlap = len(ids1 & ids3) / len(ids1)
+    assert abs(overlap - 0.25) < 0.05  # independent draws: P(both) = p
+
+
+def test_hash_sample_edge_rates(spark):
+    df = _keys_df(spark, n=500)
+    assert hash_sample(df, "k", 0.0).count() == 0
+    assert hash_sample(df, "k", 1.0).count() == 500
+    assert sample_threshold_hex(0.2) == "3333"
+    assert sample_threshold_hex(1.0) == "g"  # sorts above any 4-char hex
+
+
+def test_stratified_sample_cap_and_determinism(spark):
+    # skewed strata: stratum s0 has 900 rows, s1 has 90, s2 has 9
+    df = spark.range(999).withColumn(
+        "s",
+        F.when(F.col("id") < 900, "s0").when(F.col("id") < 990, "s1").otherwise("s2"),
+    )
+    got = stratified_sample(df, "s", "id", 50)
+    by = {r["s"]: r["n"] for r in got.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by == {"s0": 50, "s1": 50, "s2": 9}
+    # rn is a 1..N dense prefix per stratum and the pick is deterministic
+    rows1 = sorted((r["s"], r["id"], r["rn"]) for r in got.collect())
+    rows2 = sorted(
+        (r["s"], r["id"], r["rn"])
+        for r in stratified_sample(df.repartition(13), "s", "id", 50).collect()
+    )
+    assert rows1 == rows2
+    s2 = sorted(rn for s, _, rn in rows1 if s == "s2")
+    assert s2 == list(range(1, 10))
+
+
+def test_stratified_sample_plan_has_window_group_limit(spark):
+    """rank<=N must compile to WindowGroupLimit (partial per-partition top-N
+    BEFORE the shuffle) — without it the stratified cap ships every row of
+    every stratum through the exchange, the thing that dies at 10^11 rows."""
+    df = spark.range(1000).withColumn("s", (F.col("id") % 7).cast("string"))
+    plan = stratified_sample(df, "s", "id", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ngram_repetition_values(spark):
+    rows = [
+        (1, "a b c a b c a b"),  # 6 shingles, 3 distinct -> 0.5
+        (2, "x y"),  # < 3 tokens -> 0.0
+        (3, "p q r s"),  # 2 shingles, both distinct -> 0.0
+        (4, "z z z z z"),  # 3 shingles, 1 distinct -> 2/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", ngram_repetition(F.col("text"), 3).alias("f")).collect()
+    }
+    assert got[1] == 0.5
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert abs(got[4] - 2 / 3) < 1e-12
