@@ -57,6 +57,11 @@ class CrawlConfig:
     ignore_regex: tuple[str, ...] = ()
     remove_query_params: bool = False
     keep_query_params: tuple[str, ...] = ()
+    # opt-in native pre-filter of definitely-invalid hrefs before the Arrow
+    # exchange (urls.href_valid_col). Worth it on real-web corpora with a
+    # high invalid-href rate; a net loss on near-clean corpora — see
+    # engine._resolve_candidates for the measured tradeoff.
+    native_href_prefilter: bool = False
     crawl_assets: bool = True  # False ~ --crawl-only-html-files
     # P14 per-asset-class toggles (--disable-images/-javascript/-styles/
     # -fonts/-files; html_processor.rs:744-807). All-on by default; span

@@ -579,17 +579,25 @@ class CrawlEngine:
         The cache handle is parked on self._wave_caches and released at
         wave end."""
         cfg = self.config
-        # definitely-invalid hrefs (fragment-only, mailto:/javascript:,
-        # template garbage) are dropped NATIVELY before the shuffle and the
-        # Arrow exchange — P1/P2 drops are silent, and the predicate is an
-        # exact Catalyst replica of the kernel's validity check (pinned by a
-        # property test), so this is a pure short-circuit
-        c = cand.filter(href_valid_col(F.col("href")))
         # AQE coalesces the (small) upstream join output to ~1 partition; the
         # exploded candidate set is 10-50x bigger and about to hit the Python
         # kernel — spread it across the executors first. The shuffle moves
         # only (base, href) strings and buys full-parallel UDF execution.
-        c = c.repartition(self.spark.sparkContext.defaultParallelism * 2)
+        c = cand.repartition(self.spark.sparkContext.defaultParallelism * 2)
+        if cfg.native_href_prefilter:
+            # OPT-IN (real-web corpora run 5-15% mailto:/javascript:/
+            # fragment/template hrefs): drop definitely-invalid candidates
+            # natively so they never pay the Arrow exchange or the Python
+            # kernel. The predicate is an exact Catalyst replica of
+            # is_href_valid(normalize_href(h)) (property-pinned), so rows
+            # it drops are exactly rows `r.valid` would drop — a pure
+            # short-circuit. Default-OFF because its ~10us/row regex chain
+            # is charged to EVERY candidate: on near-clean corpora (incl.
+            # the synthetic bench, 0% invalid) it measured a 2.4x wave
+            # slowdown when Catalyst evaluated it on the AQE-coalesced
+            # pre-shuffle stage — placed after the repartition here so the
+            # opt-in cost at least parallelizes.
+            c = c.filter(href_valid_col(F.col("href")))
         c = c.withColumn("r", self._resolve(F.col("base"), F.col("href")))
         c = c.filter(F.col("r.valid"))  # P1/P2/P6 — invalid dropped silently
         # url_key/uq_id natively: Spark md5(str) is bit-identical to the
