@@ -206,8 +206,9 @@ def test_native_md5_key_matches_python_kernel(spark):
 
 
 def test_href_valid_col_matches_python_kernel(spark):
-    """The engine's native pre-UDF href filter (href_valid_col) must agree
-    with is_href_valid(normalize_href(h)) on every input — it short-circuits
+    """The opt-in native pre-UDF href filter (href_valid_col, enabled via
+    CrawlConfig.native_href_prefilter) must agree with
+    is_href_valid(normalize_href(h)) on every input — it short-circuits
     the Arrow exchange, so any disagreement would silently change P1/P2."""
     import random
 
