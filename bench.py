@@ -187,6 +187,7 @@ def run_queries(spark) -> dict:
         "quality_score", "lang_id", "sessionize", "url_canonicalize",
         "url_dedup_first_wins", "extract_links", "simhash_near_pairs",
         "knn_ivf_topk", "security_stats", "seo_meta",
+        "hash_sample", "stratified_sample", "repetition_ratio",
     ]
     qs = {**E.queries(), **E.extra_queries()}
     out = {}

@@ -147,11 +147,16 @@ def ngram_repetition(col, n: int = 3) -> Column:
     word n-gram shingles; 0.0 for docs with fewer than n tokens. High values
     flag boilerplate / machine-looped text a training pipeline should drop.
 
-    Per-row native arithmetic (one integer subtraction + one IEEE division)
-    — no shuffle, no UDF, and bit-identical across engines, so the DuckDB
-    oracle twin needs no rounding slack."""
+    Per-row native arithmetic — no shuffle, no UDF, and bit-identical across
+    engines, so the DuckDB oracle twin needs no rounding slack. The shingle
+    array is referenced exactly ONCE: Catalyst's subexpression elimination
+    skips higher-order-function subtrees, so each extra reference re-builds
+    the whole array per row (a 3-reference version measured 3x slower) —
+    the total shingle count comes from size(tokens)-(n-1) instead, which
+    equals size(shingles) whenever it is positive."""
     sh = word_shingles(col, n)
+    n_total = F.size(norm_tokens(col)) - (n - 1)
     return F.when(
-        F.size(sh) > 0,
-        (F.size(sh) - F.size(F.array_distinct(sh))).cast("double") / F.size(sh),
+        n_total > 0,
+        (n_total - F.size(F.array_distinct(sh))).cast("double") / n_total,
     ).otherwise(F.lit(0.0))
