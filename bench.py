@@ -138,16 +138,35 @@ def wave_bench(cores: int, n_frontier: int) -> dict:
     mrows = {(r["stage"]): r["rows"] for r in tables["metrics"].collect()}
     n_cand = int(mrows.get("candidates", 0))
     n_new = int(mrows.get("enqueued", 0))
+    # per-phase wall times the engine wrote into its metrics table
+    # (time_us:<phase> rows) — the serial-vs-parallel decomposition that
+    # lets a lo/hi efficiency number be attributed to a named phase
+    phases = {
+        k.split(":", 1)[1]: round(v / 1e6, 2)
+        for k, v in mrows.items()
+        if k.startswith("time_us:")
+    }
+    # metrics+lineage+commit run AFTER the metrics write, so they can't
+    # self-record; surface them as the wall-clock residual
+    phases["tail_untracked"] = round(dt - sum(phases.values()), 2)
     shutil.rmtree(ckpt, ignore_errors=True)
     scheduled = n_visited + n_new
-    return {
+    out = {
         "cores": cores,
         "frontier": n_frontier,
         "candidates": n_cand,
         "enqueued": n_new,
         "sec": round(dt, 2),
         "urls_per_sec": round(scheduled / dt, 1),
+        "phases": phases,
     }
+    # scheduling-only throughput: candidates/sec through the wave's heavy
+    # middle (fetch join -> explode -> resolve UDF -> cache materialize),
+    # separating engine compute from the checkpoint/commit tail
+    t_mat = phases.get("visited+candidates_materialize")
+    if t_mat:
+        out["cand_per_sec_materialize"] = round(n_cand / t_mat, 1)
+    return out
 
 
 def crawl_bench(cores: int, n_docs: int, n_seeds: int) -> dict:
@@ -266,6 +285,7 @@ def _wave_side(runs: list) -> dict:
     best = max(runs, key=lambda r: r["urls_per_sec"])
     best = dict(best)
     best["all_runs_sec"] = [r["sec"] for r in runs]
+    best["all_runs_phases"] = [r.get("phases", {}) for r in runs]
     return best
 
 

@@ -33,16 +33,35 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint, norm_tokens, word_shingles
 
 
-def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Groups of identical normalized content: (fp, n_docs, doc_ids sorted).
-    Only groups with >1 member are duplicates; keeper = min(doc_id)."""
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids: int = 1000,
+) -> DataFrame:
+    """Groups of identical normalized content: (fp, n_docs, keeper, doc_ids).
+    Only groups with >1 member are duplicates; keeper = min(doc_id).
+
+    `n_docs` and `keeper` are always exact; `doc_ids` is a PREVIEW capped at
+    the `max_ids` smallest members — a degenerate corpus (10^8 empty docs)
+    collapses to ONE group, and emitting an uncapped 10^8-element array in a
+    single output row breaks every downstream consumer (the reference caps
+    its per-group URL previews the same way: docs/JSON-OUTPUT.md §5 sample
+    tables). The cap bounds the OUTPUT row; the collect_list agg buffer
+    itself is still O(group) during the merge — if a corpus is known to
+    carry mega-groups, drop doc_ids from the projection entirely (Catalyst
+    prunes the collect_list away) and fetch previews per-fp on demand.
+    Pass None to disable the cap."""
+    ids = F.sort_array(F.collect_list("doc_id"))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("keeper"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            ids.alias("doc_ids"),
         )
     )
 
@@ -95,10 +114,30 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b) with the number of colliding bands."""
+    """LSH candidate pairs (doc_a < doc_b) with the number of colliding bands.
+
+    The band-key self-join is quadratic WITHIN a bucket: boilerplate corpora
+    (error pages, templated listings) make identical shingle sets — hence
+    identical band keys — common at 100-TB scale, and one million-doc band
+    bucket alone is a 10^12-row join. `max_bucket` drops buckets with more
+    members than the cap before pairing, the same over-full-bucket guard as
+    the simhash (blk, val) blocks and the CDC chunk-frequency filter: an
+    over-full bucket means the band is uninformative for its members — at
+    scale, route those docs to exact dedup (identical shingle sets ARE exact
+    near-dups) or re-band with more hashes. Pass None to disable."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     bk = lsh_band_keys(sigs, num_hashes, bands)
+    if max_bucket is not None:
+        # both sides shuffle on (band, band_key); AQE reuses the exchange
+        keep = (
+            bk.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "band_key")
+        )
+        bk = bk.join(keep, ["band", "band_key"])
     a = bk.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bk.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -142,10 +181,14 @@ def near_duplicates_minhash(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Full pipeline: LSH candidates -> exact-Jaccard verify -> thresholded
-    near-dup pairs, ordered (doc_a, doc_b)."""
-    pairs = minhash_candidate_pairs(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    near-dup pairs, ordered (doc_a, doc_b). `max_bucket` forwards to the
+    over-full-band-bucket guard in minhash_candidate_pairs."""
+    pairs = minhash_candidate_pairs(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    )
     jac = jaccard_pairs(docs, pairs.select("doc_a", "doc_b"), id_col, text_col, shingle_n)
     return jac.filter(F.col("jaccard") >= threshold)
 

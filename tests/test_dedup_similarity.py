@@ -25,6 +25,10 @@ def test_exact_duplicates(docs):
     assert len(dup_group) == 1
     assert dup_group[0]["doc_ids"] == [1, 2]
 
+    # mega-group preview cap: doc_ids bounded, n_docs/keeper stay exact
+    capped = {r["keeper"]: r for r in exact_duplicates(docs, max_ids=1).collect()}
+    assert capped[1]["n_docs"] == 2 and capped[1]["doc_ids"] == [1]
+
 
 def test_minhash_near_duplicates(docs):
     from siteone_crawler_spark.operators.dedup import (
@@ -162,6 +166,40 @@ def test_bucket_count_guard(spark, docs):
     }
     assert all(a >= 9 for a, _ in capped)  # 8-member bucket dropped
     assert (9, 10) in capped  # 2-member bucket kept
+
+
+def test_minhash_bucket_guard(spark, docs):
+    """Boilerplate corpus: identical shingle sets -> identical band keys ->
+    one mega band bucket. max_bucket prunes it before the quadratic
+    self-join; small buckets (real near-dups) are untouched."""
+    from siteone_crawler_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        near_duplicates_minhash,
+    )
+
+    mega = spark.createDataFrame(
+        [(100 + i, "same boilerplate error page text everywhere always") for i in range(12)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(mega)
+    kw = dict(num_hashes=16, bands=8, shingle_n=2)
+    uncapped = minhash_candidate_pairs(both, max_bucket=None, **kw).collect()
+    capped = minhash_candidate_pairs(both, max_bucket=10, **kw).collect()
+    # uncapped, the 12-doc cluster pairs quadratically: C(12,2) = 66 pairs
+    assert len({(r["doc_a"], r["doc_b"]) for r in uncapped if r["doc_a"] >= 100}) == 66
+    assert {(r["doc_a"], r["doc_b"]) for r in capped if r["doc_a"] >= 100} == set()
+    # pairs among the small-bucket docs are identical with and without the cap
+    small_c = {(r["doc_a"], r["doc_b"]) for r in capped if r["doc_b"] < 100}
+    small_u = {(r["doc_a"], r["doc_b"]) for r in uncapped if r["doc_b"] < 100}
+    assert small_c == small_u and (1, 2) in small_c
+
+    # the full pipeline forwards the cap
+    assert (
+        near_duplicates_minhash(both, threshold=0.5, max_bucket=10, **kw)
+        .filter(F.col("doc_a") >= 100)
+        .count()
+        == 0
+    )
 
 
 def test_cosine_topk(spark):

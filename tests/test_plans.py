@@ -144,7 +144,8 @@ def test_near_dup_paths_have_no_cartesian(spark):
         ),
     )
     for df in (
-        near_duplicates_minhash(docs, threshold=0.5, num_hashes=4, bands=2),
+        near_duplicates_minhash(docs, threshold=0.5, num_hashes=4, bands=2, max_bucket=1000),
+        near_duplicates_minhash(docs, threshold=0.5, num_hashes=4, bands=2, max_bucket=None),
         simhash_near_pairs(docs, max_bucket=1000),
         embedding_near_dup_pairs(emb, n_planes=4, max_bucket=1000),
     ):
