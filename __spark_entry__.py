@@ -1169,13 +1169,18 @@ _DIALECT_TWINS = (
     "join_agg_enrich",
 )
 
-# Operators added after the driver contract reached its 50-query width —
-# certified by the SAME oracle compare, just run by the local pytest gate
-# (tests/test_entry_oracle.py) instead of the driver.
+# Redundant presentation variants demoted to make room in the 50-row driver
+# gate for the first-class training operators (hash_sample,
+# stratified_sample, repetition_ratio): each is a projection or source-table
+# twin of a still-gated row (count_by_status ⊂ basic_stats;
+# visited_top_slowest = top_slowest over the visited subset;
+# caching_stats_domain_ct = the two gated caching_stats_* variants crossed).
+# Still value-certified every run by the local pytest oracle gate
+# (tests/test_entry_oracle.py).
 _PYTEST_ONLY = (
-    "hash_sample",
-    "stratified_sample",
-    "repetition_ratio",
+    "count_by_status",
+    "visited_top_slowest",
+    "caching_stats_domain_ct",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
