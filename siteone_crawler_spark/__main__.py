@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 import tempfile
 import time
@@ -115,8 +116,11 @@ def config_from_args(a) -> "CrawlConfig":
         max_reqs_per_sec=a.max_reqs_per_sec,
         request_timeout_s=a.timeout,
         wave_seconds=a.wave_seconds,
+        # ceil, not floor: 0.5 req/s over a 1s wave must cap at 1, not
+        # silently disable the budget (int() floored the product to 0
+        # exactly when the user asked for the strictest limit)
         global_wave_budget=(
-            int(a.max_reqs_per_sec * a.wave_seconds)
+            max(1, math.ceil(a.max_reqs_per_sec * a.wave_seconds))
             if a.wave_seconds > 0 and a.max_reqs_per_sec > 0
             else 0
         ),
@@ -124,19 +128,27 @@ def config_from_args(a) -> "CrawlConfig":
 
 
 def _docs_to_html(docs, meta):
-    """(doc_id, spans) + meta -> (doc_id, content_type, body) via the
-    generator's span renderer (executor-side mapInPandas) — the site-export
-    input shape. A deployment feeds stored response bodies instead."""
+    """(doc_id, spans|body) + meta -> (doc_id, content_type, body). Docs
+    that already carry a `body` column (--docs-parquet advertises both
+    shapes) pass through with just the content-type join; span-shaped docs
+    render through the generator's span renderer (executor-side
+    mapInPandas). A deployment feeds stored response bodies instead."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from .generator import render_doc_body
 
+    ct_side = meta.select(
+        F.col("doc_id").alias("__m_id"),
+        F.col("content_type_header").alias("content_type"),
+    )
+    if "body" in docs.columns:
+        return docs.join(ct_side, F.col("doc_id") == F.col("__m_id"), "left").select(
+            "doc_id", "content_type", F.col("body").cast("string").alias("body")
+        )
+
     joined = docs.join(
-        meta.select(
-            F.col("doc_id").alias("__m_id"),
-            F.col("content_type_header").alias("content_type"),
-        ),
+        ct_side,
         F.col("doc_id") == F.col("__m_id"),
         "left",
     ).select("doc_id", "spans", "content_type")

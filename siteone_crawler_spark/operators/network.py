@@ -40,7 +40,8 @@ PROBE_SCHEMA = (
     " ipv6 array<string>, connect_error string, handshake_ok boolean,"
     " cert_not_before long, cert_not_after long, sig_algorithm string,"
     " key_algo string, key_bits int, has_cn boolean, subject_empty boolean,"
-    " trusted boolean, trust_reason string, protocols array<string>"
+    " trusted boolean, trust_reason string, protocols array<string>,"
+    " issuer string"
 )
 
 
@@ -100,6 +101,11 @@ def synth_probes(targets: DataFrame, now_s: int) -> DataFrame:
         F.when(h % 6 == 5, F.array(F.lit("TLSv1"), F.lit("TLSv1.2")))
         .otherwise(F.array(F.lit("TLSv1.2"), F.lit("TLSv1.3")))
         .alias("protocols"),
+        # self-signed hosts (h%5==4, the untrusted residue above) are their
+        # own issuer; everything else chains to the synthetic root
+        F.when(h % 5 == 4, F.concat(F.lit("CN="), F.col("host")))
+        .otherwise(F.lit("CN=Synthetic Root CA"))
+        .alias("issuer"),
     )
 
 
@@ -161,6 +167,7 @@ def certificate_info(probes: DataFrame) -> DataFrame:
     pair = lambda k, v: F.struct(F.lit(k).alias("info"), v.alias("value"))  # noqa: E731
     attrs = F.array(
         pair("Host", F.concat_ws(":", F.col("host"), F.col("port").cast("string"))),
+        pair("Issuer", F.coalesce(F.col("issuer"), F.lit(""))),
         pair(
             "Subject",
             F.when(F.col("subject_empty"), F.lit(""))

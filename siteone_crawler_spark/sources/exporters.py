@@ -81,10 +81,20 @@ def json_summary(visited: DataFrame, skipped: DataFrame) -> dict:
     return {"stats": out["stats"], "tables": out["tables"]}
 
 
+# Above this, a writer "limit" is effectively "emit everything": skip the
+# .limit() so sort+limit doesn't plan TakeOrderedAndProject, whose
+# per-partition priority queue allocates `limit` slots up front (a 10^9
+# cap from max_visited_urls would OOM the heap before reading a row).
+_UNBOUNDED_LIMIT = 1_000_000
+
+
 def _rows(df: DataFrame, limit: int | None = None) -> list[dict]:
-    if limit is not None:
+    if limit is not None and limit < _UNBOUNDED_LIMIT:
         df = df.limit(limit)
     return [r.asDict(recursive=True) for r in df.collect()]
+
+
+_RESULTS_LIMIT_DEFAULT = object()  # sentinel: "derive from config"
 
 
 def json_output(
@@ -92,7 +102,7 @@ def json_output(
     skipped: DataFrame,
     config=None,
     executed_at: str = "",
-    results_limit: int | None = 10000,
+    results_limit=_RESULTS_LIMIT_DEFAULT,
     rows_limit: int = 200,
     html_docs: DataFrame | None = None,
     probes: DataFrame | None = None,
@@ -105,9 +115,12 @@ def json_output(
     apl-codes from §5). Aggregations run distributed; only the presentation
     rows collect, and every collect is BOUNDED: `rows_limit` defaults to the
     reference's --rows-limit (200, core_options.rs:341) and `results_limit`
-    to its --max-visited-urls default (10000, core_options.rs:377 — the
-    most rows a default reference crawl can ever produce); pass None to
-    lift a cap explicitly.
+    to the crawl's own cap (config.max_visited_urls when a config is given,
+    else the reference's default 10000, core_options.rs:377) — the most
+    rows THIS crawl can ever produce, so `results` is never silently
+    truncated below what was actually crawled (the reference emits every
+    visited URL; its 10000 is a crawl cap, not a writer cap). Pass an int
+    to cap tighter or None to lift the cap explicitly.
 
     `probes` is a host-probe table (network.PROBE_SCHEMA) feeding the dns +
     certificate-info tables; when absent, the deterministic sandbox prober
@@ -115,6 +128,9 @@ def json_output(
     `metrics` is the engine's checkpointed metrics table (tables["metrics"]
     from CrawlEngine.run) feeding content-processors-stats."""
     from dataclasses import asdict
+
+    if results_limit is _RESULTS_LIMIT_DEFAULT:
+        results_limit = getattr(config, "max_visited_urls", None) or 10000
 
     from ..operators import scoring
 

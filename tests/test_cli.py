@@ -79,3 +79,33 @@ def test_cli_politeness_flags(spark, tmp_path):
     assert rep["options"]["max_reqs_per_sec"] == 6.0
     assert rep["options"]["request_timeout_s"] == 1.0
     assert rep["options"]["global_wave_budget"] == 6
+
+
+def test_cli_fractional_rate_budget():
+    """--max-reqs-per-sec 0.5 over a 1s wave must cap at 1 request/wave,
+    not floor to 0 (which silently DISABLED the global budget exactly when
+    the user asked for the strictest limit)."""
+    from siteone_crawler_spark.__main__ import build_parser, config_from_args
+
+    a = build_parser().parse_args(
+        ["--url", "https://x.test/", "--max-reqs-per-sec", "0.5", "--wave-seconds", "1"]
+    )
+    assert config_from_args(a).global_wave_budget == 1
+    a = build_parser().parse_args(["--url", "https://x.test/"])
+    assert config_from_args(a).global_wave_budget == 0  # no rate flag: unlimited
+
+
+def test_docs_to_html_body_passthrough(spark):
+    """--docs-parquet advertises 'doc_id, spans|body': a body-shaped docs
+    table must pass straight through (no spans column to render)."""
+    from siteone_crawler_spark.__main__ import _docs_to_html
+
+    docs = spark.createDataFrame(
+        [("https://a.test/", "<html>x</html>")], "doc_id string, body string"
+    )
+    meta = spark.createDataFrame(
+        [("https://a.test/", "text/html")], "doc_id string, content_type_header string"
+    )
+    rows = _docs_to_html(docs, meta).collect()
+    assert rows[0]["body"] == "<html>x</html>"
+    assert rows[0]["content_type"] == "text/html"

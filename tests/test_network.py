@@ -13,7 +13,7 @@ def _probe(spark, **over):
         cert_not_before=NOW - 90 * DAY, cert_not_after=NOW + 60 * DAY,
         sig_algorithm="sha256WithRSAEncryption", key_algo="RSA", key_bits=2048,
         has_cn=True, subject_empty=False, trusted=True, trust_reason=None,
-        protocols=["TLSv1.2", "TLSv1.3"],
+        protocols=["TLSv1.2", "TLSv1.3"], issuer="CN=Synthetic Root CA",
     )
     row.update(over)
     from siteone_crawler_spark.operators.network import PROBE_SCHEMA

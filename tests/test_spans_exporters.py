@@ -140,6 +140,24 @@ def test_report_with_content_tables(spark, tmp_path, crawl_small):
     assert out["tables"]["accessibility"][0]["pages_missing_lang"] == 0
 
 
+def test_json_results_cap_follows_crawl_cap(spark, crawl_small):
+    """results_limit derives from config.max_visited_urls — a crawl allowed
+    to visit more than 10000 URLs must not be silently truncated by the
+    writer (the reference emits every visited URL; its 10000 is a crawl
+    cap, not a writer cap). Explicit int/None still override."""
+    from siteone_crawler_spark.config import CrawlConfig
+    from siteone_crawler_spark.sources.exporters import json_output
+
+    v, s = crawl_small["visited"], crawl_small["skipped"]
+    n = v.count()
+    out = json_output(v, s, config=CrawlConfig(max_visited_urls=10**9))
+    assert len(out["results"]) == n  # cap >= crawl size: nothing dropped
+    out = json_output(v, s, config=CrawlConfig(max_visited_urls=2))
+    assert len(out["results"]) == 2  # writer cap == the crawl's own cap
+    out = json_output(v, s, config=CrawlConfig(max_visited_urls=2), results_limit=None)
+    assert len(out["results"]) == n  # explicit None lifts the cap
+
+
 # every `tables` apl-code the reference documents (docs/JSON-OUTPUT.md §5.1-5.27)
 REFERENCE_TABLE_KEYS = {
     "skipped-summary", "skipped", "redirects", "404", "certificate-info",
@@ -181,7 +199,7 @@ def test_json_tables_full_parity(spark, crawl_small):
     assert dns and set(dns[0]) == {"info"}
     cert = out["tables"]["certificate-info"]
     assert cert and set(cert[0]) == {"info", "value"}
-    assert {r["info"] for r in cert} >= {"Host", "Valid from", "Valid to"}
+    assert {r["info"] for r in cert} >= {"Host", "Issuer", "Valid from", "Valid to"}
     hv = out["tables"]["headers-values"]
     assert hv and set(hv[0]) == {"header", "occurrences", "value"}
     cps = out["tables"]["content-processors-stats"]
