@@ -198,7 +198,7 @@ def crawl_bench(cores: int, n_docs: int, n_seeds: int) -> dict:
     return {"cores": cores, "urls": n, "sec": round(dt, 2), "urls_per_sec": round(n / dt, 1)}
 
 
-def run_queries(spark) -> dict:
+def run_queries(spark) -> tuple[dict, dict]:
     import __spark_entry__ as E
 
     names = [
@@ -209,24 +209,32 @@ def run_queries(spark) -> dict:
         "hash_sample", "stratified_sample", "repetition_ratio",
     ]
     qs = {**E.queries(), **E.extra_queries()}
-    out = {}
-    for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
 
     # the at-scale simhash kernel (xxhash64, pure Catalyst) timed alongside
     # the md5 oracle-parity kernel the driver gate checks
     from siteone_crawler_spark.operators.dedup import simhash_near_pairs
 
-    t0 = time.time()
-    simhash_near_pairs(
-        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")),
-        max_hamming=12, native=True,
-    ).write.format("noop").mode("overwrite").save()
-    out["simhash_near_pairs_native"] = round(time.time() - t0, 3)
-    return out
+    def _native_simhash(spark, sf_dir):
+        return simhash_near_pairs(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")),
+            max_hamming=12, native=True,
+        )
+
+    qs["simhash_near_pairs_native"] = _native_simhash
+
+    # best-of-2 per query: single draws vary with host heat up to ~3x even
+    # in a fresh child, making round-over-round comparison unadjudicable.
+    # Both draws are recorded (query_draws); `queries` keeps the best.
+    out, draws = {}, {}
+    for name in names + ["simhash_near_pairs_native"]:
+        ts = []
+        for _ in range(int(os.environ.get("BENCH_QUERY_DRAWS", "2"))):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+        out[name] = min(ts)
+        draws[name] = ts
+    return out, draws
 
 
 # ------------------------------------------------------------- child protocol
@@ -238,7 +246,8 @@ def _child(mode: str, cores: int, size: int, n_runs: int = 1) -> None:
 
         spark = get_spark("bench_queries", cores=cores,
                           shuffle_partitions=max(cores, 16))
-        print(json.dumps({"queries": run_queries(spark)}))
+        best, draws = run_queries(spark)
+        print(json.dumps({"queries": best, "query_draws": draws}))
     elif mode == "wave":
         wave_bench(cores, max(size // 20, 5000))
         runs = [wave_bench(cores, size) for _ in range(n_runs)]
@@ -321,8 +330,11 @@ def main() -> None:
     reserve = 800.0  # headline (~300s) + crawl (~400s) + aggregate margin
 
     queries: dict = {}
+    query_draws: dict = {}
     try:
-        queries = _spawn("queries", CPUS, 0)["queries"]
+        qres = _spawn("queries", CPUS, 0)
+        queries = qres["queries"]
+        query_draws = qres.get("query_draws", {})
     except Exception as e:  # noqa: BLE001 — queries must not kill the bench
         queries = {"error": str(e)[:500]}
 
@@ -376,6 +388,7 @@ def main() -> None:
         "value": wave_full["urls_per_sec"] if wave_full else None,
         "unit": "urls/sec",
         "queries": queries,
+        "query_draws": query_draws,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "wave": {
             "lo": lo,
