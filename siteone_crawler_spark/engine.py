@@ -279,9 +279,7 @@ class CrawlEngine:
         # frontier rows discovered while processing last_wave live at index
         # last_wave+1 — they are already committed state (manifest bumped
         # after finalize), so the seen set must include them
-        import os as _os
-
-        if _os.path.isdir(self.store._wave_dir("seen", last_wave + 1)):
+        if self.store.has_wave("seen", last_wave + 1):
             keys = self.store.read_all_partitioned(
                 "seen", last_wave + 1, "url_key string, bucket int",
                 ["url_key", "bucket"],
@@ -302,7 +300,7 @@ class CrawlEngine:
         # replay everything — the merge chain reproduces the same table)
         w0 = -1
         for w in range(last_wave, -1, -1):
-            if _os.path.isdir(self.store._wave_dir("basename_events", w)):
+            if self.store.has_wave("basename_events", w):
                 w0 = w
                 break
         if w0 >= 0:
@@ -859,20 +857,14 @@ class CrawlEngine:
         events (the precheck -6-short-circuits the rest), so the collect_list
         below is O(n) per key by construction."""
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         from .functions.urls import BREAKER_EXEMPT_BASENAMES
 
-        d = self.store._wave_dir("visited", wave)
-        if not os.path.isdir(d):
-            return
         eventful = False
-        for fn in os.listdir(d):
-            if not fn.endswith(".parquet"):
-                continue
-            st = pq.read_table(os.path.join(d, fn), columns=["status_code"])[
-                "status_code"
-            ]
+        for chunk in self.store.iter_column_chunks(
+            "visited", wave, ["status_code"]
+        ):
+            st = chunk["status_code"]
             mask = pc.and_(pc.not_equal(st, 200), pc.not_equal(st, -6))
             if pc.sum(mask).as_py() not in (0, None):
                 eventful = True

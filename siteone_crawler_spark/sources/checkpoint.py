@@ -104,6 +104,27 @@ class CheckpointStore:
                     total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         return total
 
+    def has_wave(self, table: str, wave: int) -> bool:
+        """Whether a wave of `table` was ever written (even empty). Iceberg
+        swap: a snapshot/partition existence check instead of a dir probe."""
+        return os.path.isdir(self._wave_dir(table, wave))
+
+    def iter_column_chunks(self, table: str, wave: int, columns: list[str]):
+        """Driver-side Arrow scan of a wave dir, one file at a time (no Spark
+        job) — for tiny state decisions like 'did this wave see any non-200?'.
+        This is the ONE place engine logic reads table DATA outside Spark;
+        an Iceberg swap reimplements it over the table scan API (or answers
+        the caller's predicate from column stats) instead of POSIX listings."""
+        import pyarrow.parquet as pq
+
+        d = self._wave_dir(table, wave)
+        if not os.path.isdir(d):
+            return
+        for root, _dirs, files in os.walk(d):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    yield pq.read_table(os.path.join(root, fn), columns=columns)
+
     def min_stat(self, table: str, wave: int, column: str):
         """Minimum value of `column` over a wave dir, from parquet row-group
         footer statistics (driver-side metadata read — no Spark job).
