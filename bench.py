@@ -33,16 +33,18 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WAVE_FRONTIER = int(os.environ.get("BENCH_WAVE_FRONTIER", "2000000"))
-# The pinned N-vs-4N pair runs at the same 2M frontier as the headline:
+# The N-vs-4N pair runs at the same 2M frontier as the headline:
 # the wave has a ~25s fixed serial tail (plan/commit/driver phases), which
 # at an 800k frontier is ~1/3 of the hi side's run but ~1/9 of lo's —
 # measured efficiency collapsed to 0.72 at 800k vs 0.98 at 2M with the SAME
 # engine. At 10^10-URL scale waves dwarf the tail, so the amortized pair is
-# the scale-faithful measurement. Budget arithmetic (see main()): one 2M
-# round = lo child (gen ~220s + warmup + 2 x ~550s) + hi child (~560s)
-# ~= 2100s; the deadline loop then stops at 2 draws/side, leaving the
-# headline (~450s) + crawl (~250s) inside BUDGET_S with margin. A faster
-# host gets extra rounds automatically.
+# the scale-faithful measurement. Budget arithmetic (see main()): the 2M
+# corpus is generated ONCE (gen child, ~60s at full width), then one round
+# = lo child (warmup + 2 x ~500s) + hi child (~350s) ~= 1450s; the deadline
+# loop stops at 2 draws/side, an extra lo-only draw runs if it fits (lo
+# spreads ~23% between draws vs hi's ~2%), leaving the headline (~300s) +
+# crawl (~250s) inside BUDGET_S with margin. A faster host gets extra
+# rounds automatically.
 PAIR_FRONTIER = int(os.environ.get("BENCH_PAIR_FRONTIER", "2000000"))
 CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "100000"))
 CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "4000"))
@@ -89,8 +91,14 @@ def _build_frontier(spark, docs, n: int):
 PART_MULT = int(os.environ.get("BENCH_PART_MULT", "4"))
 
 
-def wave_bench(cores: int, n_frontier: int) -> dict:
-    """One steady-state wave over an n_frontier-row frontier.
+def wave_bench(
+    cores: int, n_frontier: int, n_runs: int = 1, corpus_dir: str | None = None
+) -> list[dict]:
+    """n_runs steady-state waves over an n_frontier-row frontier.
+
+    The corpus is generated + persisted ONCE per call (it is deterministic,
+    so per-run regeneration is pure overhead — ~220s/run at 2M on one core)
+    and each run gets a fresh engine + checkpoint dir.
 
     Partition counts scale with cores (PART_MULT tasks per slot, not 1):
     with exactly cores tasks per stage one straggler stalls the whole
@@ -105,11 +113,26 @@ def wave_bench(cores: int, n_frontier: int) -> dict:
         f"bench_wave_{cores}", cores=cores,
         shuffle_partitions=max(PART_MULT * cores, 8),
     )
-    # corpus = 2x the frontier: half the wave's targets are already-seen
-    # (dedup pressure), half are fresh discoveries (rank+enqueue pressure)
-    docs, meta, robots, _seed_fn = generate_site_df(
-        spark, n_docs=2 * n_frontier, n_hosts=512, fanout=FANOUT
-    )
+    corpus_dir = corpus_dir if corpus_dir and os.path.isdir(corpus_dir) else None
+    if corpus_dir:
+        # pre-generated corpus (see _gen_corpus): all pair sides + the
+        # headline read the SAME bytes — no per-child generation cost, no
+        # cross-side corpus variance, and reading a checkpointed frontier
+        # from parquet is the cluster-faithful input shape
+        docs = spark.read.parquet(os.path.join(corpus_dir, "docs"))
+        meta = spark.read.parquet(os.path.join(corpus_dir, "meta"))
+        frontier = spark.read.parquet(os.path.join(corpus_dir, "frontier"))
+        robots = {
+            f"h{i:04d}.bench.test": "User-agent: *\nDisallow: /private/\n"
+            for i in range(512)
+        }
+    else:
+        # corpus = 2x the frontier: half the wave's targets are already-seen
+        # (dedup pressure), half are fresh discoveries (rank+enqueue
+        # pressure)
+        docs, meta, robots, _seed_fn = generate_site_df(
+            spark, n_docs=2 * n_frontier, n_hosts=512, fanout=FANOUT
+        )
     # persist docs/meta pre-hash-partitioned on the join key: the fetch join
     # then shuffles only the (smaller) frontier side — the local stand-in for
     # a bucketed Iceberg docs table
@@ -117,56 +140,73 @@ def wave_bench(cores: int, n_frontier: int) -> dict:
     docs = docs.repartition(n_part, "doc_id").persist()
     meta = meta.repartition(n_part, "doc_id").persist()
     docs.count(), meta.count()
-    frontier = _build_frontier(spark, docs, n_frontier)
+    if corpus_dir:
+        frontier = frontier.persist()
+        frontier.count()
+    else:
+        frontier = _build_frontier(spark, docs, n_frontier)
 
-    ckpt = tempfile.mkdtemp(prefix=f"bench_wave_{cores}_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
-    cfg = CrawlConfig(
-        allowed_domains=("*.bench.test",),
-        max_visited_urls=10**12,
-        max_queue_length=10**12,
-    )
-    eng = CrawlEngine(spark, cfg, ckpt, n_buckets=64)
-    # seed OUTSIDE the timed region: the frontier's own write + seen/bloom
-    # install is the PREVIOUS wave's finalize cost, and the timed wave pays
-    # that same cost for ITS output frontier — timing both double-counts
-    eng.seed_frontier(frontier)
-    t0 = time.time()
-    tables = eng.run(docs, meta, robots, seeds=[("https://h0000.bench.test/p/0", 5)],
-                     max_waves=1, external_frontier=frontier, preseeded=True)
-    dt = time.time() - t0
-    n_visited = tables["visited"].count()
-    mrows = {(r["stage"]): r["rows"] for r in tables["metrics"].collect()}
-    n_cand = int(mrows.get("candidates", 0))
-    n_new = int(mrows.get("enqueued", 0))
-    # per-phase wall times the engine wrote into its metrics table
-    # (time_us:<phase> rows) — the serial-vs-parallel decomposition that
-    # lets a lo/hi efficiency number be attributed to a named phase
-    phases = {
-        k.split(":", 1)[1]: round(v / 1e6, 2)
-        for k, v in mrows.items()
-        if k.startswith("time_us:")
-    }
-    # metrics+lineage+commit run AFTER the metrics write, so they can't
-    # self-record; surface them as the wall-clock residual
-    phases["tail_untracked"] = round(dt - sum(phases.values()), 2)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    scheduled = n_visited + n_new
-    out = {
-        "cores": cores,
-        "frontier": n_frontier,
-        "candidates": n_cand,
-        "enqueued": n_new,
-        "sec": round(dt, 2),
-        "urls_per_sec": round(scheduled / dt, 1),
-        "phases": phases,
-    }
-    # scheduling-only throughput: candidates/sec through the wave's heavy
-    # middle (fetch join -> explode -> resolve UDF -> cache materialize),
-    # separating engine compute from the checkpoint/commit tail
-    t_mat = phases.get("visited+candidates_materialize")
-    if t_mat:
-        out["cand_per_sec_materialize"] = round(n_cand / t_mat, 1)
-    return out
+    runs = []
+    for _ in range(n_runs):
+        ckpt = tempfile.mkdtemp(
+            prefix=f"bench_wave_{cores}_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        cfg = CrawlConfig(
+            allowed_domains=("*.bench.test",),
+            max_visited_urls=10**12,
+            max_queue_length=10**12,
+        )
+        eng = CrawlEngine(spark, cfg, ckpt, n_buckets=64)
+        # seed OUTSIDE the timed region: the frontier's own write + seen/
+        # bloom install is the PREVIOUS wave's finalize cost, and the timed
+        # wave pays that same cost for ITS output frontier — timing both
+        # double-counts
+        eng.seed_frontier(frontier)
+        t0 = time.time()
+        tables = eng.run(
+            docs, meta, robots, seeds=[("https://h0000.bench.test/p/0", 5)],
+            max_waves=1, external_frontier=frontier, preseeded=True,
+        )
+        dt = time.time() - t0
+        n_visited = tables["visited"].count()
+        mrows = {(r["stage"]): r["rows"] for r in tables["metrics"].collect()}
+        n_cand = int(mrows.get("candidates", 0))
+        n_new = int(mrows.get("enqueued", 0))
+        # per-phase wall times the engine wrote into its metrics table
+        # (time_us:<phase> rows) — the serial-vs-parallel decomposition that
+        # lets a lo/hi efficiency number be attributed to a named phase
+        phases = {
+            k.split(":", 1)[1]: round(v / 1e6, 2)
+            for k, v in mrows.items()
+            if k.startswith("time_us:")
+        }
+        # metrics+lineage+commit run AFTER the metrics write, so they can't
+        # self-record; surface them as the wall-clock residual
+        phases["tail_untracked"] = round(dt - sum(phases.values()), 2)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        scheduled = n_visited + n_new
+        out = {
+            "cores": cores,
+            "frontier": n_frontier,
+            "candidates": n_cand,
+            "enqueued": n_new,
+            "sec": round(dt, 2),
+            "urls_per_sec": round(scheduled / dt, 1),
+            "phases": phases,
+        }
+        # scheduling-only throughput: candidates/sec through the wave's
+        # heavy middle (fetch join -> explode -> resolve UDF -> cache
+        # materialize), separating engine compute from the commit tail
+        t_mat = phases.get("visited+candidates_materialize")
+        if t_mat:
+            out["cand_per_sec_materialize"] = round(n_cand / t_mat, 1)
+        runs.append(out)
+    docs.unpersist()
+    meta.unpersist()
+    if corpus_dir:
+        frontier.unpersist()
+    return runs
 
 
 def crawl_bench(cores: int, n_docs: int, n_seeds: int) -> dict:
@@ -237,8 +277,30 @@ def run_queries(spark) -> tuple[dict, dict]:
     return out, draws
 
 
+def _gen_corpus(cores: int, n_frontier: int, out_dir: str) -> None:
+    """Materialize the bench corpus (docs/meta/frontier) to parquet once, at
+    full host width, so every wave child (lo, hi, headline) reads identical
+    bytes instead of regenerating — the lo side otherwise pays ~220s of
+    1-core generation per child, all of it outside the timed region but
+    inside the global budget."""
+    from siteone_crawler_spark.generator import generate_site_df
+    from siteone_crawler_spark.session import get_spark
+
+    spark = get_spark("bench_gen", cores=cores, shuffle_partitions=64)
+    docs, meta, _robots, _seed_fn = generate_site_df(
+        spark, n_docs=2 * n_frontier, n_hosts=512, fanout=FANOUT
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    meta.write.mode("overwrite").parquet(os.path.join(out_dir, "meta"))
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    frontier = _build_frontier(spark, docs, n_frontier)
+    frontier.write.mode("overwrite").parquet(os.path.join(out_dir, "frontier"))
+    print(json.dumps({"dir": out_dir}))
+
+
 # ------------------------------------------------------------- child protocol
-def _child(mode: str, cores: int, size: int, n_runs: int = 1) -> None:
+def _child(mode: str, cores: int, size: int, n_runs: int = 1,
+           corpus_dir: str | None = None) -> None:
     # warm the JVM + python workers with a small run of the same shape, then
     # emit ALL measured runs (the parent aggregates best-of across children)
     if mode == "queries":
@@ -248,9 +310,11 @@ def _child(mode: str, cores: int, size: int, n_runs: int = 1) -> None:
                           shuffle_partitions=max(cores, 16))
         best, draws = run_queries(spark)
         print(json.dumps({"queries": best, "query_draws": draws}))
+    elif mode == "gen":
+        _gen_corpus(cores, size, corpus_dir)
     elif mode == "wave":
         wave_bench(cores, max(size // 20, 5000))
-        runs = [wave_bench(cores, size) for _ in range(n_runs)]
+        runs = wave_bench(cores, size, n_runs=n_runs, corpus_dir=corpus_dir)
         print(json.dumps({"runs": runs}))
     else:
         crawl_bench(cores, max(size // 10, 5000), 500)
@@ -261,7 +325,8 @@ def _child(mode: str, cores: int, size: int, n_runs: int = 1) -> None:
         print(json.dumps(best))
 
 
-def _spawn(mode: str, cores: int, size: int, pin: bool = False, n_runs: int = 1) -> dict:
+def _spawn(mode: str, cores: int, size: int, pin: bool = False, n_runs: int = 1,
+           corpus_dir: str | None = None) -> dict:
     """Run one bench child. With pin=True the child is CPU-affined to
     cores + 2 CPUs (executor cores + a driver allotment): local[N] only
     bounds TASK slots — JVM GC/netty/Arrow pools size by HOST cpu count
@@ -274,6 +339,8 @@ def _spawn(mode: str, cores: int, size: int, pin: bool = False, n_runs: int = 1)
     never starve the final JSON line."""
     cmd = [sys.executable, os.path.abspath(__file__), "--child", mode, str(cores),
            str(size), str(n_runs)]
+    if corpus_dir:
+        cmd.append(corpus_dir)
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores + 1}"] + cmd
     out = subprocess.run(
@@ -338,20 +405,50 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — queries must not kill the bench
         queries = {"error": str(e)[:500]}
 
+    pin = os.environ.get("BENCH_PIN", "0") == "1"
+    # one shared corpus for every wave child (pair sides + headline):
+    # generated at full width, read back from tmpfs parquet
+    corpus_dir = tempfile.mkdtemp(
+        prefix="bench_corpus_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    try:
+        _spawn("gen", CPUS, PAIR_FRONTIER, corpus_dir=corpus_dir)
+    except Exception:  # noqa: BLE001 — children fall back to inline gen
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        corpus_dir = None
+
     lo_runs: list = []
     hi_runs: list = []
     round_wall = 0.0
+    lo_wall = 0.0
     while len(lo_runs) < draws:
         if lo_runs and _left() - reserve < 1.2 * round_wall:
             break  # another full round won't fit — keep what we measured
         t_r = time.time()
         try:
             n = min(per_child, draws - len(lo_runs))
-            lo_runs += _spawn("wave", lo_cores, PAIR_FRONTIER, pin=True, n_runs=n)["runs"]
-            hi_runs += _spawn("wave", hi_cores, PAIR_FRONTIER, pin=True, n_runs=n)["runs"]
+            lo_runs += _spawn("wave", lo_cores, PAIR_FRONTIER, pin=pin, n_runs=n,
+                              corpus_dir=corpus_dir)["runs"]
+            lo_wall = time.time() - t_r
+            hi_runs += _spawn("wave", hi_cores, PAIR_FRONTIER, pin=pin, n_runs=n,
+                              corpus_dir=corpus_dir)["runs"]
         except Exception:  # noqa: BLE001 — timeout OR child crash: keep what
             break  # we measured; the JSON line must always print
         round_wall = time.time() - t_r
+    # lo-side draws spread ~23% between identical runs while hi spreads ~2%
+    # (BENCH_r04), so ONE extra lo draw is the cheapest variance reduction
+    # for the ratio. A 1-run lo child costs ~(child wall - one run).
+    if lo_runs and hi_runs:
+        lo1_est = lo_wall - min(r["sec"] for r in lo_runs)
+        if _left() - reserve > 1.2 * lo1_est:
+            try:
+                lo_runs += _spawn(
+                    "wave", lo_cores, PAIR_FRONTIER, pin=pin, n_runs=1,
+                    corpus_dir=corpus_dir,
+                )["runs"]
+            except Exception:  # noqa: BLE001
+                pass
     lo = _wave_side(lo_runs) if lo_runs else None
     hi = _wave_side(hi_runs) if hi_runs else None
     efficiency = (
@@ -367,13 +464,18 @@ def main() -> None:
     if _left() > 420:
         try:
             wave_full = _wave_side(
-                _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=2)["runs"]
+                _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=2,
+                       corpus_dir=(corpus_dir if WAVE_FRONTIER == PAIR_FRONTIER
+                                   else None))["runs"]
             )
         except Exception:  # noqa: BLE001
             wave_full = None
     headline_fallback = wave_full is None
     if headline_fallback:  # hi side is the best remaining evidence
         wave_full = hi or lo
+
+    if corpus_dir:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
 
     crawl = None
     if _left() > 180:
@@ -399,11 +501,40 @@ def main() -> None:
         },
         "full_crawl": crawl,
         "budget": {"budget_s": BUDGET_S, "elapsed_s": round(time.time() - T_START, 1),
-                   "draws_per_side": len(lo_runs)},
+                   "draws_lo": len(lo_runs), "draws_hi": len(hi_runs)},
     }
     print(json.dumps(result))
     sys.stdout.flush()
     _write_baseline_md(lo, hi, efficiency, crawl, wave_full)
+
+
+def _phase_table(lo: dict, hi: dict) -> str:
+    """Per-phase decomposition of the best lo/hi draws (the engine's
+    time_us:* metric rows) — names WHERE any efficiency gap lives instead
+    of leaving one aggregate ratio to argue about."""
+    lp, hp = lo.get("phases") or {}, hi.get("phases") or {}
+    if not lp or not hp:
+        return ""
+    ratio = hi["cores"] / lo["cores"]
+    rows = []
+    for k in sorted(set(lp) | set(hp), key=lambda k: -(lp.get(k) or 0)):
+        lv, hv = lp.get(k), hp.get(k)
+        speed = (
+            f"{lv / hv:.2f}x" if lv and hv and hv > 0 else "—"
+        )
+        eff_k = (
+            f"{(lv / hv) / ratio:.2f}" if lv and hv and hv > 0 else "—"
+        )
+        rows.append(f"| {k} | {lv} | {hv} | {speed} | {eff_k} |")
+    return (
+        "Per-phase wall times of the best draw on each side (engine\n"
+        "`time_us:*` metric rows; `tail_untracked` is the commit/metrics\n"
+        "residual after the last self-recording phase):\n\n"
+        f"| phase | local[{lo['cores']}] sec | local[{hi['cores']}] sec "
+        "| speedup | phase efficiency |\n|---|---|---|---|---|\n"
+        + "\n".join(rows)
+        + "\n\n"
+    )
 
 
 def _write_baseline_md(
@@ -442,20 +573,30 @@ def _write_baseline_md(
             + full_row +
             f"\n**Scaling efficiency (throughput ratio / core ratio): {eff}** "
             "(target >= 0.8 per BASELINE.json)\n\n"
+            + _phase_table(lo, hi) +
             "Methodology: measurements run in fresh subprocesses (JVM\n"
-            "isolation), each CPU-pinned to cores+2 CPUs (executor cores +\n"
-            "a fixed driver allotment — local[N] only bounds task slots;\n"
-            "unpinned, JVM GC/netty/Arrow pools leak onto all 32 host CPUs\n"
-            "and overstate small-core throughput; the JVM additionally gets\n"
-            "-XX:ActiveProcessorCount sized to the affinity mask, the local\n"
-            "analog of a cgroup CPU limit). Each child warms up with a\n"
-            "1/20-size run of the same shape, then reports 2 timed runs;\n"
-            "children INTERLEAVE lo/hi so host drift hits both sides\n"
-            f"equally, for {len(lo['all_runs_sec'])} symmetric draws per\n"
-            "side, best-of reported as the quiet-host estimate: noise on\n"
-            "this shared-tenancy host only ever ADDS time, and single-run\n"
-            "draws vary up to +-40% between identical runs minutes apart\n"
-            "(all per-run times are recorded in the JSON line).\n\n"
+            "isolation), plain `local[N]` vs `local[4N]` — the protocol the\n"
+            "north rule itself names. Children are UNPINNED by default\n"
+            "(BENCH_PIN=1 restores taskset affinity to cores+2 CPUs +\n"
+            "-XX:ActiveProcessorCount): pinning was measured to starve the\n"
+            "hi side asymmetrically — during the pandas-UDF stage the 4-core\n"
+            "child demands ~4 python workers + 4 JVM task threads on 6\n"
+            "pinned CPUs (materialize 178.4s pinned vs 132.9s unpinned)\n"
+            "while the 1-core child (1+1 threads on 3 CPUs) has slack, so\n"
+            "the pinned ratio under-reports the engine's parallel fraction.\n"
+            "On a real cluster BOTH sides run python workers beside task\n"
+            "threads on every executor; neither asymmetry exists. All wave\n"
+            "children read ONE pre-generated parquet corpus (identical\n"
+            "bytes on both sides). Each child warms up with a 1/20-size run\n"
+            "of the same shape, then reports its timed runs; children\n"
+            "INTERLEAVE lo/hi so host drift hits both sides equally, for\n"
+            f"{len(lo['all_runs_sec'])} lo / {len(hi['all_runs_sec'])} hi\n"
+            "draws (the lo side gets a budget-permitting extra draw — its\n"
+            "spread is ~23% vs hi's ~2%), best-of reported as the\n"
+            "quiet-host estimate: noise on this shared-tenancy host only\n"
+            "ever ADDS time, and single-run draws vary up to +-40% between\n"
+            "identical runs minutes apart (all per-run times and per-phase\n"
+            "decompositions are recorded in the JSON line).\n\n"
             f"local[{lo['cores']}] vs local[{hi['cores']}] models "
             f"{lo['cores']} vs {hi['cores']} single-core executors (N vs 4N)\n"
             "inside the host's measured linear-CPU region: a pure\n"
@@ -488,6 +629,7 @@ def _write_baseline_md(
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         _child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
-               int(sys.argv[5]) if len(sys.argv) > 5 else 1)
+               int(sys.argv[5]) if len(sys.argv) > 5 else 1,
+               sys.argv[6] if len(sys.argv) > 6 else None)
     else:
         main()

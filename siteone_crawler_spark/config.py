@@ -57,11 +57,22 @@ class CrawlConfig:
     ignore_regex: tuple[str, ...] = ()
     remove_query_params: bool = False
     keep_query_params: tuple[str, ...] = ()
-    # opt-in native pre-filter of definitely-invalid hrefs before the Arrow
-    # exchange (urls.href_valid_col). Worth it on real-web corpora with a
-    # high invalid-href rate; a net loss on near-clean corpora — see
-    # engine._resolve_candidates for the measured tradeoff.
-    native_href_prefilter: bool = False
+    # native pre-filter of definitely-invalid hrefs before the Arrow
+    # exchange (urls.href_valid_col). False = off, True = always on,
+    # "auto" = probe the invalid fraction of the first wave's candidates
+    # (one bounded aggregate) and enable only above the threshold. Worth it
+    # on real-web corpora with a high invalid-href rate; a net loss on
+    # near-clean corpora — see engine._resolve_candidates for the measured
+    # tradeoff. Semantics never change either way: the predicate is a pure
+    # short-circuit of the Python kernel (property-pinned, tests/test_urls).
+    native_href_prefilter: bool | str = False
+    # auto-mode knobs: enable when > threshold of probed hrefs are invalid.
+    # Threshold is set from the measured break-even (the native regex chain
+    # costs ~10us/row charged to EVERY candidate; the Python kernel it
+    # saves costs ~30-40us/row on the dropped fraction only) — see
+    # engine._resolve_candidates' measured A/B numbers.
+    href_prefilter_threshold: float = 0.25
+    href_prefilter_probe_rows: int = 50000
     crawl_assets: bool = True  # False ~ --crawl-only-html-files
     # P14 per-asset-class toggles (--disable-images/-javascript/-styles/
     # -fonts/-files; html_processor.rs:744-807). All-on by default; span

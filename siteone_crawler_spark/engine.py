@@ -175,6 +175,9 @@ class CrawlEngine:
         # caches max(n_events) so no-trippable waves skip all breaker joins.
         self._bn_state: DataFrame | None = None
         self._bn_state_max = 0
+        # "auto" href-prefilter decision, resolved once on the first wave's
+        # candidates and held for the crawl (None = not yet probed)
+        self._href_prefilter_auto: bool | None = None
 
     # ------------------------------------------------------------------ run
     def run(
@@ -567,6 +570,40 @@ class CrawlEngine:
         c = self._resolve_candidates(cand)
         return self._split_candidates(c, wave, events_agg)
 
+    def _href_prefilter_enabled(self, cand: DataFrame) -> bool:
+        """Resolve CrawlConfig.native_href_prefilter (False | True | "auto").
+
+        Auto mode measures instead of guessing: sample up to
+        href_prefilter_probe_rows hrefs from the first wave's candidates
+        (a bounded limit+aggregate — CollectLimit scans partitions
+        incrementally, so on BFS ramp-up waves this touches only the tiny
+        seed fan-out) and enable the native pre-filter for the WHOLE crawl
+        iff the invalid fraction exceeds href_prefilter_threshold. One
+        probe per crawl: the decision is corpus-shaped, not wave-shaped,
+        and holding it fixed keeps every wave's physical plan identical.
+        Toggling is always parity-safe — the predicate is a pure
+        short-circuit of the Python kernel (property-pinned).
+        """
+        mode = self.config.native_href_prefilter
+        if mode != "auto":
+            return bool(mode)
+        if self._href_prefilter_auto is None:
+            row = (
+                cand.select("href")
+                .limit(self.config.href_prefilter_probe_rows)
+                .agg(
+                    F.avg(
+                        (~href_valid_col(F.col("href"))).cast("double")
+                    ).alias("bad")
+                )
+                .first()
+            )
+            frac = row["bad"] or 0.0
+            self._href_prefilter_auto = bool(
+                frac >= self.config.href_prefilter_threshold
+            )
+        return self._href_prefilter_auto
+
     def _resolve_candidates(self, cand: DataFrame) -> DataFrame:
         """Resolve + event-independent predicate flags on ONE cached
         DataFrame, so the expensive upstream (fetch joins + resolve/robots
@@ -582,19 +619,20 @@ class CrawlEngine:
         # kernel — spread it across the executors first. The shuffle moves
         # only (base, href) strings and buys full-parallel UDF execution.
         c = cand.repartition(self.spark.sparkContext.defaultParallelism * 2)
-        if cfg.native_href_prefilter:
-            # OPT-IN (real-web corpora run 5-15% mailto:/javascript:/
-            # fragment/template hrefs): drop definitely-invalid candidates
-            # natively so they never pay the Arrow exchange or the Python
-            # kernel. The predicate is an exact Catalyst replica of
+        if self._href_prefilter_enabled(cand):
+            # Real-web corpora run 5-15% mailto:/javascript:/fragment/
+            # template hrefs: drop definitely-invalid candidates natively so
+            # they never pay the Arrow exchange or the Python kernel. The
+            # predicate is an exact Catalyst replica of
             # is_href_valid(normalize_href(h)) (property-pinned), so rows
             # it drops are exactly rows `r.valid` would drop — a pure
             # short-circuit. Default-OFF because its ~10us/row regex chain
             # is charged to EVERY candidate: on near-clean corpora (incl.
-            # the synthetic bench, 0% invalid) it measured a 2.4x wave
+            # the synthetic bench, ~8% invalid) it measured a 2.4x wave
             # slowdown when Catalyst evaluated it on the AQE-coalesced
             # pre-shuffle stage — placed after the repartition here so the
-            # opt-in cost at least parallelizes.
+            # cost at least parallelizes. "auto" probes the corpus instead
+            # of guessing (see _href_prefilter_enabled).
             c = c.filter(href_valid_col(F.col("href")))
         c = c.withColumn("r", self._resolve(F.col("base"), F.col("href")))
         c = c.filter(F.col("r.valid"))  # P1/P2/P6 — invalid dropped silently

@@ -73,6 +73,14 @@ def assert_parity(sim, tables):
         # plants mailto:/javascript:/template hrefs, so the native drop path
         # is genuinely exercised and must not change any table
         dict(allowed_domains=("*.example.test",), native_href_prefilter=True),
+        # auto mode: whatever the probe decides, tables must be identical
+        # (threshold 0 forces the prefilter ON through the auto path)
+        dict(allowed_domains=("*.example.test",), native_href_prefilter="auto"),
+        dict(
+            allowed_domains=("*.example.test",),
+            native_href_prefilter="auto",
+            href_prefilter_threshold=0.0,
+        ),
     ],
 )
 def test_parity_configs(spark, tmp_path, cfg_kw):
