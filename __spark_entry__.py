@@ -505,6 +505,55 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_ratio"] = q_repetition_ratio
 
+    def _pii_augmented(spark, sf_dir):
+        # the synthetic corpus has no digits, so both sides plant the SAME
+        # deterministic PII from doc_id — the oracle check then certifies
+        # regex-dialect parity (Java vs RE2) on real matches, not on an
+        # all-zero column
+        from pyspark.sql import functions as F
+
+        _register(spark, sf_dir)
+        return spark.table("documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 11 == 0,
+                       F.lit(" call 555-123-4567 or 10.0.0.1")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 13 == 0,
+                       F.lit(" ssn 123-45-6789 card 4111-1111-1111-1111")
+                       ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+
+    def q_pii_scan(spark, sf_dir):
+        from siteone_crawler_spark.operators.pii import pii_scan
+
+        return pii_scan(_pii_augmented(spark, sf_dir)).select(
+            "doc_id", "n_email", "n_cc", "n_ssn", "n_phone", "n_ipv4",
+            "pii_total",
+        )
+
+    q["pii_scan"] = q_pii_scan
+
+    def q_pii_redact(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.pii import pii_redact
+
+        return pii_redact(_pii_augmented(spark, sf_dir)).select(
+            "doc_id", F.md5("redacted").alias("redacted_md5")
+        )
+
+    q["pii_redact"] = q_pii_redact
+
     def q_minhash_sigs(spark, sf_dir):
         from siteone_crawler_spark.functions.text import token_count
         from siteone_crawler_spark.operators.dedup import minhash_signatures
@@ -1171,16 +1220,20 @@ _DIALECT_TWINS = (
 
 # Redundant presentation variants demoted to make room in the 50-row driver
 # gate for the first-class training operators (hash_sample,
-# stratified_sample, repetition_ratio): each is a projection or source-table
-# twin of a still-gated row (count_by_status ⊂ basic_stats;
-# visited_top_slowest = top_slowest over the visited subset;
-# caching_stats_domain_ct = the two gated caching_stats_* variants crossed).
-# Still value-certified every run by the local pytest oracle gate
-# (tests/test_entry_oracle.py).
+# stratified_sample, repetition_ratio, pii_scan, pii_redact): each demoted
+# row is a projection or source-table twin of a still-gated row
+# (count_by_status ⊂ basic_stats; visited_top_slowest = top_slowest over
+# the visited subset; caching_stats_domain_ct = the two gated
+# caching_stats_* variants crossed; visited_content_type_stats /
+# visited_source_domain_stats = content_type_stats / source_domain_stats
+# over the visited subset). Still value-certified every run by the local
+# pytest oracle gate (tests/test_entry_oracle.py).
 _PYTEST_ONLY = (
     "count_by_status",
     "visited_top_slowest",
     "caching_stats_domain_ct",
+    "visited_content_type_stats",
+    "visited_source_domain_stats",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1364,6 +1417,47 @@ def _all_oracle_sql() -> dict[str, str]:
                    / len({_sh3})
             ELSE 0.0 END AS dup3_frac
         FROM documents"""
+
+    # PII scan/redact: same deterministic augmentation as the Spark side
+    # (operators/pii.py patterns interpolated verbatim — one source of
+    # truth; the conservative Java/RE2 common regex subset makes the
+    # dialects agree match-for-match). DuckDB single-quoted literals keep
+    # backslashes raw, so the patterns need no re-escaping.
+    from siteone_crawler_spark.operators.pii import PII_ORDER, PII_PATTERNS
+
+    _pii_aug = """
+        WITH aug AS (
+          SELECT doc_id,
+            text ||
+            CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0
+              THEN ' call 555-123-4567 or 10.0.0.1' ELSE '' END ||
+            CASE WHEN doc_id % 13 = 0
+              THEN ' ssn 123-45-6789 card 4111-1111-1111-1111' ELSE '' END AS t
+          FROM documents)
+    """
+    _pii_counts = ",\n          ".join(
+        f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS int) AS n_{k}"
+        for k in PII_ORDER
+    )
+    _pii_total = " + ".join(
+        f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS int)"
+        for k in PII_ORDER
+    )
+    o["pii_scan"] = (
+        _pii_aug
+        + f"SELECT doc_id,\n          {_pii_counts},\n          "
+        + f"{_pii_total} AS pii_total\n        FROM aug"
+    )
+
+    _red = "t"
+    for _k in PII_ORDER:
+        _red = f"regexp_replace({_red}, '{PII_PATTERNS[_k]}', '<{_k.upper()}>', 'g')"
+    o["pii_redact"] = (
+        _pii_aug + f"SELECT doc_id, md5({_red}) AS redacted_md5 FROM aug"
+    )
 
     o["minhash_signatures"] = f"""
         WITH sh AS (

@@ -422,6 +422,7 @@ def main() -> None:
     hi_runs: list = []
     round_wall = 0.0
     lo_wall = 0.0
+    hi_wall = 0.0
     while len(lo_runs) < draws:
         if lo_runs and _left() - reserve < 1.2 * round_wall:
             break  # another full round won't fit — keep what we measured
@@ -431,24 +432,32 @@ def main() -> None:
             lo_runs += _spawn("wave", lo_cores, PAIR_FRONTIER, pin=pin, n_runs=n,
                               corpus_dir=corpus_dir)["runs"]
             lo_wall = time.time() - t_r
+            t_h = time.time()
             hi_runs += _spawn("wave", hi_cores, PAIR_FRONTIER, pin=pin, n_runs=n,
                               corpus_dir=corpus_dir)["runs"]
+            hi_wall = time.time() - t_h
         except Exception:  # noqa: BLE001 — timeout OR child crash: keep what
             break  # we measured; the JSON line must always print
         round_wall = time.time() - t_r
-    # lo-side draws spread ~23% between identical runs while hi spreads ~2%
-    # (BENCH_r04), so ONE extra lo draw is the cheapest variance reduction
-    # for the ratio. A 1-run lo child costs ~(child wall - one run).
+    # Both sides' single draws are bimodal on this host (lo spread 23%
+    # r4; hi measured 133s vs 348s for identical runs) — spend leftover
+    # budget on alternating 1-run extra draws, lo first (the verdict-asked
+    # 3rd lo draw), while each side's estimated child cost fits. A 1-run
+    # child costs ~(symmetric child wall - one timed run).
     if lo_runs and hi_runs:
-        lo1_est = lo_wall - min(r["sec"] for r in lo_runs)
-        if _left() - reserve > 1.2 * lo1_est:
+        lo1_est = max(lo_wall - min(r["sec"] for r in lo_runs), 60.0)
+        hi1_est = max(hi_wall - min(r["sec"] for r in hi_runs), 60.0)
+        for side in ("lo", "hi", "lo", "hi"):
+            cores = lo_cores if side == "lo" else hi_cores
+            est = lo1_est if side == "lo" else hi1_est
+            if _left() - reserve < 1.2 * est:
+                continue
             try:
-                lo_runs += _spawn(
-                    "wave", lo_cores, PAIR_FRONTIER, pin=pin, n_runs=1,
-                    corpus_dir=corpus_dir,
-                )["runs"]
+                extra = _spawn("wave", cores, PAIR_FRONTIER, pin=pin,
+                               n_runs=1, corpus_dir=corpus_dir)["runs"]
             except Exception:  # noqa: BLE001
-                pass
+                break
+            (lo_runs if side == "lo" else hi_runs).extend(extra)
     lo = _wave_side(lo_runs) if lo_runs else None
     hi = _wave_side(hi_runs) if hi_runs else None
     efficiency = (
