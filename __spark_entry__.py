@@ -554,6 +554,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_redact"] = q_pii_redact
 
+    def q_decontamination(spark, sf_dir):
+        # eval set = every 97th doc (a benchmark is tiny next to the
+        # training corpus); 5-gram overlap against everything else
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.decontam import ngram_contamination
+
+        _register(spark, sf_dir)
+        docs = spark.table("documents")
+        return ngram_contamination(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            n=5,
+        )
+
+    q["decontamination"] = q_decontamination
+
     def q_minhash_sigs(spark, sf_dir):
         from siteone_crawler_spark.functions.text import token_count
         from siteone_crawler_spark.operators.dedup import minhash_signatures
@@ -1220,20 +1237,22 @@ _DIALECT_TWINS = (
 
 # Redundant presentation variants demoted to make room in the 50-row driver
 # gate for the first-class training operators (hash_sample,
-# stratified_sample, repetition_ratio, pii_scan, pii_redact): each demoted
-# row is a projection or source-table twin of a still-gated row
-# (count_by_status ⊂ basic_stats; visited_top_slowest = top_slowest over
-# the visited subset; caching_stats_domain_ct = the two gated
-# caching_stats_* variants crossed; visited_content_type_stats /
-# visited_source_domain_stats = content_type_stats / source_domain_stats
-# over the visited subset). Still value-certified every run by the local
-# pytest oracle gate (tests/test_entry_oracle.py).
+# stratified_sample, repetition_ratio, pii_scan, pii_redact,
+# decontamination): each demoted row is a projection or source-table twin
+# of a still-gated row (count_by_status ⊂ basic_stats; visited_top_slowest
+# = top_slowest over the visited subset; caching_stats_domain_ct = the two
+# gated caching_stats_* variants crossed; visited_content_type_stats /
+# visited_source_domain_stats / visited_basic_stats = content_type_stats /
+# source_domain_stats / basic_stats over the visited subset). Still
+# value-certified every run by the local pytest oracle gate
+# (tests/test_entry_oracle.py).
 _PYTEST_ONLY = (
     "count_by_status",
     "visited_top_slowest",
     "caching_stats_domain_ct",
     "visited_content_type_stats",
     "visited_source_domain_stats",
+    "visited_basic_stats",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1458,6 +1477,20 @@ def _all_oracle_sql() -> dict[str, str]:
     o["pii_redact"] = (
         _pii_aug + f"SELECT doc_id, md5({_red}) AS redacted_md5 FROM aug"
     )
+
+    _sh5 = _shingles_sql("duck", 5)
+    o["decontamination"] = f"""
+        WITH ev AS (
+          SELECT DISTINCT shingle FROM (
+            SELECT unnest({_sh5}) AS shingle FROM documents WHERE doc_id % 97 = 0)
+        ), tr AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({_sh5}) AS shingle
+            FROM documents WHERE doc_id % 97 <> 0)
+        )
+        SELECT doc_id, count(*) AS n_overlap
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY doc_id"""
 
     o["minhash_signatures"] = f"""
         WITH sh AS (
