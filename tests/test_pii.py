@@ -72,3 +72,13 @@ def test_pii_redact_subset_kinds(spark):
     df = _docs_df(spark).filter(F.col("doc_id") == 5)
     got = pii_redact(df, kinds=("ssn",)).collect()[0]["redacted"]
     assert got == "555-123-4567 <SSN> 4111-1111-1111-1111"
+
+
+def test_pii_scan_plan_pure_codegen(spark):
+    """pii_scan is one codegen'd projection: no Exchange anywhere in the
+    plan (a 100 TB scan stays embarrassingly parallel), no Python."""
+    df = pii_scan(_docs_df(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "*(" in plan  # whole-stage codegen span
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
