@@ -58,19 +58,21 @@ class CrawlConfig:
     remove_query_params: bool = False
     keep_query_params: tuple[str, ...] = ()
     # native pre-filter of definitely-invalid hrefs before the Arrow
-    # exchange (urls.href_valid_col). False = off, True = always on,
-    # "auto" = probe the invalid fraction of the first wave's candidates
-    # (one bounded aggregate) and enable only above the threshold. Worth it
-    # on real-web corpora with a high invalid-href rate; a net loss on
-    # near-clean corpora — see engine._resolve_candidates for the measured
-    # tradeoff. Semantics never change either way: the predicate is a pure
-    # short-circuit of the Python kernel (property-pinned, tests/test_urls).
+    # exchange (urls.href_cheap_invalid_col — string ops only, an
+    # under-approximation that may drop ONLY kernel-invalid rows).
+    # False = off, True = always on, "auto" = probe the cheaply-droppable
+    # fraction of the first wave's candidates (one bounded aggregate) and
+    # enable only above the threshold. Measured A/B (local[8], 400k
+    # frontier): ~7% whole-wave win at 47% droppable hrefs (29.5-30.7s on
+    # vs 31.8-33.5s off); the exact regex-chain replica (href_valid_col)
+    # LOST 2.6x on the same corpus at ~58us/row and is kept only as the
+    # reference predicate. Semantics never change either way: anything the
+    # cheap predicate misses, the Python kernel still rejects
+    # (implication property-pinned, tests/test_urls).
     native_href_prefilter: bool | str = False
-    # auto-mode knobs: enable when > threshold of probed hrefs are invalid.
-    # Threshold is set from the measured break-even (the native regex chain
-    # costs ~10us/row charged to EVERY candidate; the Python kernel it
-    # saves costs ~30-40us/row on the dropped fraction only) — see
-    # engine._resolve_candidates' measured A/B numbers.
+    # auto-mode knobs: enable when >= threshold of probed hrefs are
+    # cheaply droppable. The predicate costs ~1-2us/row, so the threshold
+    # is about avoiding pointless plan churn, not cost.
     href_prefilter_threshold: float = 0.25
     href_prefilter_probe_rows: int = 50000
     crawl_assets: bool = True  # False ~ --crawl-only-html-files

@@ -61,7 +61,7 @@ from .functions.robots import compile_rules_map, is_allowed
 from .functions.urls import (
     HTMLISH_EXTENSIONS,
     canonicalize,
-    href_valid_col,
+    href_cheap_invalid_col,
     make_resolve_udf,
 )
 from .operators.ordering import with_global_seq
@@ -593,7 +593,7 @@ class CrawlEngine:
                 .limit(self.config.href_prefilter_probe_rows)
                 .agg(
                     F.avg(
-                        (~href_valid_col(F.col("href"))).cast("double")
+                        href_cheap_invalid_col(F.col("href")).cast("double")
                     ).alias("bad")
                 )
                 .first()
@@ -620,20 +620,27 @@ class CrawlEngine:
         # only (base, href) strings and buys full-parallel UDF execution.
         c = cand.repartition(self.spark.sparkContext.defaultParallelism * 2)
         if self._href_prefilter_enabled(cand):
-            # Real-web corpora run 5-15% mailto:/javascript:/fragment/
-            # template hrefs: drop definitely-invalid candidates natively so
+            # Real-web corpora run 5-50% mailto:/javascript:/fragment/
+            # template hrefs: drop DEFINITELY-invalid candidates natively so
             # they never pay the Arrow exchange or the Python kernel. The
-            # predicate is an exact Catalyst replica of
-            # is_href_valid(normalize_href(h)) (property-pinned), so rows
-            # it drops are exactly rows `r.valid` would drop — a pure
-            # short-circuit. Default-OFF because its ~10us/row regex chain
-            # is charged to EVERY candidate: on near-clean corpora (incl.
-            # the synthetic bench, ~8% invalid) it measured a 2.4x wave
-            # slowdown when Catalyst evaluated it on the AQE-coalesced
-            # pre-shuffle stage — placed after the repartition here so the
-            # cost at least parallelizes. "auto" probes the corpus instead
-            # of guessing (see _href_prefilter_enabled).
-            c = c.filter(href_valid_col(F.col("href")))
+            # predicate is the cheap string-ops under-approximation
+            # (href_cheap_invalid_col): it may only drop rows the kernel
+            # would drop (implication property-pinned), and anything it
+            # misses the kernel still rejects — never a semantic fork.
+            # History: the first version used the exact regex-chain replica
+            # (href_valid_col) and LOST 2.4-2.8x in every regime — ~58us/row
+            # charged to every candidate vs the few-us/row kernel rejection
+            # it saved. The OR-term below is always false
+            # (monotonically_increasing_id is non-negative) but
+            # NONDETERMINISTIC, which pins the filter above the exchange —
+            # PushDownPredicates otherwise moves it through Repartition onto
+            # the AQE-coalesced ~1-partition join output and it runs serial.
+            # "auto" probes the corpus with this same predicate instead of
+            # guessing (see _href_prefilter_enabled).
+            c = c.filter(
+                ~href_cheap_invalid_col(F.col("href"))
+                | (F.monotonically_increasing_id() < F.lit(0))
+            )
         c = c.withColumn("r", self._resolve(F.col("base"), F.col("href")))
         c = c.filter(F.col("r.valid"))  # P1/P2/P6 — invalid dropped silently
         # url_key/uq_id natively: Spark md5(str) is bit-identical to the

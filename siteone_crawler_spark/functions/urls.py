@@ -85,6 +85,36 @@ def is_href_valid(href: str) -> bool:
     return True
 
 
+def href_cheap_invalid_col(href_col):
+    """Cheap NATIVE under-approximation of href invalidity — the hot-path
+    pre-filter. String ops only (startswith/contains/trim/lower, no regex):
+    ~1-2us/row, vs ~58us/row measured for the exact-replica regex chain
+    (href_valid_col), which cost 2.6x the ENTIRE wave when used as the
+    filter even on a 47%-invalid corpus.
+
+    Contract (property-pinned, tests/test_urls.py): may return true ONLY
+    for hrefs the Python kernel would reject after normalize_href —
+    false means "let the kernel decide", never "valid". Each branch is
+    safe against normalization: edge whitespace/quote stripping and
+    &amp;/&#38; decoding can neither create nor remove a leading '#', a
+    '{'/'<' anywhere, or a leading junk scheme; F.trim('')-emptiness is a
+    subset of Python strip()-emptiness. Deliberately NOT covered (kernel
+    handles them): quoted/whitespace-wrapped junk, exotic schemes, '&#'
+    template residue ('&#38;' decodes to a legal '&')."""
+    s = F.coalesce(href_col, F.lit(""))
+    low = F.lower(s)
+    return (
+        (F.trim(s) == "")
+        | s.startswith("#")
+        | s.contains("{")
+        | s.contains("<")
+        | low.startswith("mailto:")
+        | low.startswith("javascript:")
+        | low.startswith("data:")
+        | low.startswith("tel:")
+    )
+
+
 def href_valid_col(href_col):
     """Native (Catalyst) replica of `is_href_valid(normalize_href(href))` —
     used by the engine to drop definitely-invalid candidates BEFORE the
