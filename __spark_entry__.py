@@ -571,6 +571,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontamination"] = q_decontamination
 
+    def q_line_boilerplate(spark, sf_dir):
+        # the corpus has no newlines, so both sides synthesize the same
+        # 3-line docs: unique body + a footer planted in EVERY doc + a
+        # "subscribe" line in every 3rd doc — the two planted lines exceed
+        # max_df and must vanish, order-exact rebuild md5-checked
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.linededup import (
+            strip_boilerplate_lines,
+        )
+
+        _register(spark, sf_dir)
+        aug = spark.table("documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.lit("boilerplate footer"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("subscribe to our newsletter"),
+                ).otherwise(F.concat(F.lit("line "), F.col("doc_id").cast("string"))),
+            ).alias("text"),
+        )
+        out = strip_boilerplate_lines(aug, max_df=10)
+        return out.select("doc_id", F.md5("text").alias("stripped_md5"))
+
+    q["line_boilerplate"] = q_line_boilerplate
+
     def q_minhash_sigs(spark, sf_dir):
         from siteone_crawler_spark.functions.text import token_count
         from siteone_crawler_spark.operators.dedup import minhash_signatures
@@ -1253,6 +1282,9 @@ _PYTEST_ONLY = (
     "visited_content_type_stats",
     "visited_source_domain_stats",
     "visited_basic_stats",
+    # post-width training op (gate already holds 6 first-class training
+    # rows); full DuckDB oracle runs in the pytest gate
+    "line_boilerplate",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1490,6 +1522,28 @@ def _all_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, count(*) AS n_overlap
         FROM tr JOIN ev USING (shingle)
+        GROUP BY doc_id"""
+
+    o["line_boilerplate"] = """
+        WITH aug AS (
+          SELECT doc_id,
+            text || chr(10) || 'boilerplate footer' || chr(10) ||
+            CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+                 ELSE 'line ' || CAST(doc_id AS VARCHAR) END AS t
+          FROM documents
+        ), ls AS (
+          SELECT doc_id, string_split(t, chr(10)) AS arr FROM aug
+        ), ex AS (
+          SELECT doc_id, unnest(arr) AS line,
+                 generate_subscripts(arr, 1) AS pos
+          FROM ls
+        ), bad AS (
+          SELECT line FROM ex WHERE trim(line) <> ''
+          GROUP BY line HAVING count(DISTINCT doc_id) > 10
+        )
+        SELECT doc_id,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS stripped_md5
+        FROM ex WHERE line NOT IN (SELECT line FROM bad)
         GROUP BY doc_id"""
 
     o["minhash_signatures"] = f"""
