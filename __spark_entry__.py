@@ -600,6 +600,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_boilerplate"] = q_line_boilerplate
 
+    def q_temperature_sample(spark, sf_dir):
+        from siteone_crawler_spark.operators.sampling import temperature_sample
+
+        _register(spark, sf_dir)
+        return temperature_sample(
+            spark.table("documents"), strata="source", key="doc_id",
+            alpha=0.5, target_fraction=0.25, salt="ts1",
+        ).select("doc_id", "source")
+
+    q["temperature_sample"] = q_temperature_sample
+
     def q_minhash_sigs(spark, sf_dir):
         from siteone_crawler_spark.functions.text import token_count
         from siteone_crawler_spark.operators.dedup import minhash_signatures
@@ -1282,9 +1293,10 @@ _PYTEST_ONLY = (
     "visited_content_type_stats",
     "visited_source_domain_stats",
     "visited_basic_stats",
-    # post-width training op (gate already holds 6 first-class training
-    # rows); full DuckDB oracle runs in the pytest gate
+    # post-width training ops (gate already holds 6 first-class training
+    # rows); full DuckDB oracles run in the pytest gate
     "line_boilerplate",
+    "temperature_sample",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1545,6 +1557,26 @@ def _all_oracle_sql() -> dict[str, str]:
                md5(string_agg(line, chr(10) ORDER BY pos)) AS stripped_md5
         FROM ex WHERE line NOT IN (SELECT line FROM bad)
         GROUP BY doc_id"""
+
+    # temperature mixing: same double arithmetic on both engines (pow/
+    # floor/hex are IEEE-exact; a last-ulp divergence could only flip a
+    # row whose 8-hex hash EQUALS the boundary, P ~ strata/2^32)
+    o["temperature_sample"] = """
+        WITH c AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), t AS (
+          SELECT sum(n) AS N, sum(pow(n, 0.5)) AS W FROM c
+        ), r AS (
+          SELECT c.source,
+                 lpad(lower(hex(CAST(least(
+                   floor(least(0.25 * t.N / t.W * pow(c.n, -0.5), 1.0)
+                         * 4294967296.0),
+                   4294967295.0) AS BIGINT))), 8, '0') AS thr
+          FROM c, t
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'ts1'), 1, 8) < r.thr"""
 
     o["minhash_signatures"] = f"""
         WITH sh AS (

@@ -66,3 +66,66 @@ def stratified_sample(
         df.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= n_per_stratum)
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.25,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled domain mixing: per-stratum deterministic sampling
+    with keep-rate r_s ∝ n_s^(alpha-1), normalized so the expected output
+    is target_fraction of the input. alpha=1 reproduces uniform sampling;
+    alpha<1 flattens the mix (upweights small domains relative to big ones
+    — the standard multi-source pretraining recipe); alpha=0 aims at equal
+    rows per stratum. Rates are capped at 1 (small strata saturate instead
+    of oversampling, so the realized total can undershoot the target when
+    the cap binds).
+
+    Fully declarative: stratum counts are one hash aggregate, rates join
+    back via a broadcast (strata cardinality is domain-sized), and the
+    keep decision is the same content-addressed md5-threshold as
+    hash_sample — scan-side, reproducible across engines, reruns and
+    repartitionings. The 8-hex-char threshold is materialized as a
+    lowercase hex STRING so the comparison is engine-portable (lowercase
+    hex order == numeric order), with 1/2^32 rate resolution.
+    """
+    counts = df.groupBy(strata).agg(F.count("*").alias("__n"))
+    # corpus totals via an unpartitioned window OVER THE COUNTS TABLE —
+    # that table has one row per stratum (domain-scale, tiny), so the
+    # single-partition window is harmless; the raw rows never see it
+    w = Window.partitionBy()
+    rates = counts.select(
+        F.col(strata),
+        F.least(
+            F.lit(target_fraction)
+            * F.sum("__n").over(w)
+            / F.sum(F.pow("__n", F.lit(alpha))).over(w)
+            * F.pow(F.col("__n"), F.lit(alpha - 1.0)),
+            F.lit(1.0),
+        ).alias("__rate"),
+    )
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.floor(F.col("__rate") * F.lit(4294967296.0)),
+                    F.lit(4294967295),
+                ).cast("bigint")
+            )
+        ),
+        8,
+        "0",
+    )
+    rates = rates.select(F.col(strata), thr.alias("__thr"))
+    h = F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(rates), strata)
+        .filter(h < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -97,3 +97,54 @@ def test_ngram_repetition_values(spark):
     assert got[2] == 0.0
     assert got[3] == 0.0
     assert abs(got[4] - 2 / 3) < 1e-12
+
+
+def _strata_df(spark):
+    # skewed strata: big=8000 rows, mid=1600, small=80
+    from siteone_crawler_spark.operators.sampling import temperature_sample  # noqa: F401
+
+    df = spark.range(9680).withColumn(
+        "src",
+        F.when(F.col("id") < 8000, "big")
+        .when(F.col("id") < 9600, "mid")
+        .otherwise("small"),
+    )
+    return df.repartition(5)
+
+
+def test_temperature_sample_flattens_mix(spark):
+    from siteone_crawler_spark.operators.sampling import temperature_sample
+
+    df = _strata_df(spark)
+    out = temperature_sample(df, strata="src", key="id", alpha=0.5,
+                             target_fraction=0.25, salt="t")
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    n = {"big": 8000, "mid": 1600, "small": 80}
+    keep_rate = {s: got.get(s, 0) / n[s] for s in n}
+    # alpha<1: smaller strata keep a LARGER fraction
+    assert keep_rate["small"] > keep_rate["mid"] > keep_rate["big"]
+    # overall close to the 25% target (binomial noise at these sizes)
+    total = sum(got.values())
+    assert abs(total / 9680 - 0.25) < 0.05, total
+    # expected rates r_s = 0.25 * N/W * n^-0.5: check each stratum is near
+    import math
+    W = sum(math.sqrt(v) for v in n.values())
+    for s, v in n.items():
+        exp_rate = min(0.25 * 9680 / W / math.sqrt(v), 1.0)
+        assert abs(keep_rate[s] - exp_rate) < 0.12, (s, keep_rate[s], exp_rate)
+
+
+def test_temperature_sample_deterministic_and_capped(spark):
+    from siteone_crawler_spark.operators.sampling import temperature_sample
+
+    df = _strata_df(spark)
+    a = set(r["id"] for r in temperature_sample(df, "src", "id", 0.5, 0.25, "t").collect())
+    b = set(r["id"] for r in temperature_sample(
+        df.repartition(13), "src", "id", 0.5, 0.25, "t").collect())
+    assert a == b  # content-addressed: partitioning-independent
+    # alpha=0 with a generous target: the tiny stratum saturates (rate
+    # capped at 1 -> every small row kept)
+    out = temperature_sample(df, "src", "id", alpha=0.0,
+                             target_fraction=0.5, salt="t")
+    kept_small = out.filter(F.col("src") == "small").count()
+    assert kept_small == 80
