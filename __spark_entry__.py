@@ -611,6 +611,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temperature_sample"] = q_temperature_sample
 
+    def q_pack_sequences(spark, sf_dir):
+        # doc_id%16 shards (SQL-trivial) instead of the default xxhash64
+        # sharding, so the oracle reproduces placement exactly
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.sampling import pack_sequences
+
+        _register(spark, sf_dir)
+        return pack_sequences(
+            spark.table("documents"), seq_len=256,
+            shard_col=F.pmod(F.col("doc_id"), F.lit(16)),
+        )
+
+    q["pack_sequences"] = q_pack_sequences
+
     def q_minhash_sigs(spark, sf_dir):
         from siteone_crawler_spark.functions.text import token_count
         from siteone_crawler_spark.operators.dedup import minhash_signatures
@@ -1297,6 +1312,7 @@ _PYTEST_ONLY = (
     # rows); full DuckDB oracles run in the pytest gate
     "line_boilerplate",
     "temperature_sample",
+    "pack_sequences",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1577,6 +1593,21 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source
         FROM documents d JOIN r ON d.source = r.source
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'ts1'), 1, 8) < r.thr"""
+
+    o["pack_sequences"] = f"""
+        WITH d AS (
+          SELECT doc_id, doc_id % 16 AS shard,
+                 len({_TOKS_DUCK}) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS ord_key
+          FROM documents
+        )
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_tok,
+               CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256.0)
+                    AS BIGINT) AS pack_id
+        FROM d
+        WINDOW w AS (PARTITION BY shard
+                     ORDER BY ord_key, CAST(doc_id AS VARCHAR))"""
 
     o["minhash_signatures"] = f"""
         WITH sh AS (

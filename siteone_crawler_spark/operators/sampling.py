@@ -129,3 +129,59 @@ def temperature_sample(
         .filter(h < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 1024,
+    shard_col=None,
+) -> DataFrame:
+    """GPT-style concat-then-chunk packing layout: documents are
+    deterministically sharded, ordered within each shard by md5(id) (a
+    stable uniform shuffle), virtually concatenated, and chunked into
+    fixed seq_len windows. Returns per-doc placement:
+
+      (id_col, shard, n_tokens, start_tok, pack_id)
+
+    where start_tok is the document's offset in its shard's token stream
+    and pack_id = floor(start_tok / seq_len) — the training example the
+    document STARTS in (documents may straddle pack boundaries, exactly
+    as concat-and-chunk training consumes them).
+
+    Scale shape: the only wide operation is one running-sum window
+    PARTITIONED BY SHARD — shard count bounds every partition (pick
+    n_shards ~ total_tokens / (executor-memory-sized stream)), so no
+    global sort and no single-partition window ever materializes. This is
+    the deterministic, rerun-stable alternative to driver-side greedy
+    packing.
+    """
+    from siteone_crawler_spark.functions.text import token_count
+
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    )
+    d = df.select(
+        F.col(id_col),
+        shard.cast("bigint").alias("shard"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__ord"), F.col(id_col).cast("string"))
+    )
+    return (
+        d.withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            (F.col("__cum") - F.col("n_tokens")).alias("start_tok"),
+            F.floor((F.col("__cum") - F.col("n_tokens")) / seq_len).alias("pack_id"),
+        )
+    )

@@ -148,3 +148,44 @@ def test_temperature_sample_deterministic_and_capped(spark):
                              target_fraction=0.5, salt="t")
     kept_small = out.filter(F.col("src") == "small").count()
     assert kept_small == 80
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-then-chunk invariants: per-shard offsets are contiguous
+    (start_tok = sum of earlier docs' tokens), pack_id = floor(start/L),
+    and the layout is partitioning-independent."""
+    from siteone_crawler_spark.operators.sampling import pack_sequences
+
+    df = spark.range(500).withColumn(
+        "text",
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.pmod(F.col("id"), 7) + 1).cast("int"))),
+    ).withColumnRenamed("id", "doc_id")
+    out = pack_sequences(df, seq_len=16, n_shards=8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == 500
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["start_tok"])
+        cum = 0
+        for r in rows:
+            assert r["start_tok"] == cum, (shard, r)
+            assert r["pack_id"] == cum // 16
+            assert 1 <= r["n_tokens"] <= 7
+            cum += r["n_tokens"]
+    # deterministic under repartitioning
+    out2 = pack_sequences(df.repartition(11), seq_len=16, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_sequences_plan_no_global_window(spark):
+    """The running sum must be partitioned by shard — a single-partition
+    window over the corpus would serialize packing at scale."""
+    from siteone_crawler_spark.operators.sampling import pack_sequences
+
+    df = spark.range(100).withColumn("text", F.lit("a b c")).withColumnRenamed("id", "doc_id")
+    plan = pack_sequences(df, seq_len=16, n_shards=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+    m = re.search(r"Window \[[^\]]*\], \[shard", plan)
+    assert m, plan[:1500]
