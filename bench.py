@@ -247,6 +247,8 @@ def run_queries(spark) -> tuple[dict, dict]:
         "url_dedup_first_wins", "extract_links", "simhash_near_pairs",
         "knn_ivf_topk", "security_stats", "seo_meta",
         "hash_sample", "stratified_sample", "repetition_ratio",
+        "pii_scan", "pii_redact", "decontamination", "line_boilerplate",
+        "temperature_sample", "pack_sequences",
     ]
     qs = {**E.queries(), **E.extra_queries()}
 
