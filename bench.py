@@ -471,16 +471,34 @@ def main() -> None:
     # headline wave throughput: same job at the host's effective-core width
     # (unpinned — it owns the box), separate from the scaling pair
     full_cores = int(os.environ.get("BENCH_WAVE_FULL_CORES", "16"))
-    wave_full = None
+    full_corpus = corpus_dir if WAVE_FRONTIER == PAIR_FRONTIER else None
+    full_runs: list = []
     if _left() > 420:
         try:
-            wave_full = _wave_side(
-                _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=2,
-                       corpus_dir=(corpus_dir if WAVE_FRONTIER == PAIR_FRONTIER
-                                   else None))["runs"]
-            )
+            full_runs = _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=2,
+                               corpus_dir=full_corpus)["runs"]
         except Exception:  # noqa: BLE001
-            wave_full = None
+            full_runs = []
+
+    def _settled(runs: list) -> bool:
+        # single draws on this host are multi-modal (249s and 77s measured
+        # back-to-back in the SAME warmed JVM for identical 2M waves): a
+        # best-of is only trustworthy once a SECOND draw lands within 30%
+        # of it — two agreeing draws pin the quiet-host mode, one fast
+        # outlier does not, and two slow draws may both be contaminated.
+        best = min(r["sec"] for r in runs)
+        return sum(1 for r in runs if r["sec"] <= 1.3 * best) >= 2
+
+    # spend leftover budget on 1-run tiebreaker children until the headline
+    # settles (it is the reported `value`; the crawl row is cheaper to lose)
+    while (full_runs and not _settled(full_runs) and len(full_runs) < 5
+           and _left() > 500):
+        try:
+            full_runs += _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=1,
+                                corpus_dir=full_corpus)["runs"]
+        except Exception:  # noqa: BLE001
+            break
+    wave_full = _wave_side(full_runs) if full_runs else None
     headline_fallback = wave_full is None
     if headline_fallback:  # hi side is the best remaining evidence
         wave_full = hi or lo
