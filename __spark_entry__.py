@@ -626,6 +626,64 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = q_pack_sequences
 
+    def q_classifier_score(spark, sf_dir):
+        """Model-based quality scores: pure-Catalyst LR inference with the
+        deterministic md5-bucket weight vector (operators/classifier.py) —
+        the oracle reproduces tokenization, bucketing, weights and sigmoid
+        bit-for-bit (scores rounded to 6 dp on both sides to absorb
+        sum-order float noise)."""
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.classifier import (
+            deterministic_weights,
+            quality_lr_score,
+        )
+
+        _register(spark, sf_dir)
+        scored = quality_lr_score(
+            spark.table("documents"),
+            deterministic_weights(spark, 1 << 16),
+            dim=1 << 16,
+        )
+        return scored.select(
+            "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+        )
+
+    q["classifier_score"] = q_classifier_score
+
+    def q_cuckoo_filter(spark, sf_dir):
+        """Cuckoo arm of the URL-seen prefilter (operators/cuckoo.py):
+        build per-bucket fingerprint tables over the seen half, probe the
+        candidate third; definite-new rows skip the exact anti-join, maybe-
+        seen rows fall through to it — the output therefore EQUALS the
+        exact anti-join (the oracle), which is the filter's whole contract
+        (false positives safe, false negatives impossible)."""
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.cuckoo import (
+            CuckooState,
+            build_cuckoo_blobs,
+            cuckoo_filter_new,
+        )
+        from siteone_crawler_spark.operators.seen import key_bucket
+
+        _register(spark, sf_dir)
+        keyed = spark.table("documents").select(
+            "doc_id",
+            F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string"))).alias(
+                "url_key"
+            ),
+        )
+        seen = keyed.filter(F.col("doc_id") % 2 == 0).select("url_key")
+        blobs = build_cuckoo_blobs(
+            seen.withColumn("bucket", key_bucket(F.col("url_key"), 8)), 1 << 12
+        )
+        state = CuckooState.from_rows(blobs, 8, 1 << 12)
+        cand = keyed.filter(F.col("doc_id") % 3 == 0)
+        return cuckoo_filter_new(spark, cand, state, seen)
+
+    q["cuckoo_filter"] = q_cuckoo_filter
+
     def q_minhash_sigs(spark, sf_dir):
         from siteone_crawler_spark.functions.text import token_count
         from siteone_crawler_spark.operators.dedup import minhash_signatures
@@ -1313,6 +1371,8 @@ _PYTEST_ONLY = (
     "line_boilerplate",
     "temperature_sample",
     "pack_sequences",
+    "classifier_score",
+    "cuckoo_filter",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1608,6 +1668,29 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM d
         WINDOW w AS (PARTITION BY shard
                      ORDER BY ord_key, CAST(doc_id AS VARCHAR))"""
+
+    o["classifier_score"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+        ), feat AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT % 65536 AS bucket,
+                 count(*) AS tf
+          FROM toks GROUP BY doc_id, bucket
+        ), dots AS (
+          SELECT doc_id,
+                 sum(tf * ((bucket % 2001 - 1000) / 10000.0)) AS dot
+          FROM feat GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(1.0 / (1.0 + exp(-coalesce(dots.dot, 0.0))), 6)
+                 AS quality_prob
+        FROM documents d LEFT JOIN dots USING (doc_id)"""
+
+    o["cuckoo_filter"] = """
+        SELECT doc_id, md5('url:' || CAST(doc_id AS VARCHAR)) AS url_key
+        FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0"""
 
     o["minhash_signatures"] = f"""
         WITH sh AS (
