@@ -710,6 +710,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_pairs"] = q_minhash_pairs
 
+    def q_dedup_clusters(spark, sf_dir):
+        """Pairs -> clusters: transitive closure of the minhash near-dup
+        relation via alternating large/small-star (operators/components.py),
+        one min-id keeper per cluster, singletons included. The oracle
+        closes the same pair set with a recursive CTE — tractable at gate
+        scale, which is exactly why the distributed algorithm exists."""
+        from siteone_crawler_spark.functions.text import token_count
+        from siteone_crawler_spark.operators.components import dedup_clusters
+        from siteone_crawler_spark.operators.dedup import minhash_candidate_pairs
+
+        _register(spark, sf_dir)
+        docs = spark.table("documents").filter(
+            (F.col("doc_id") < 200) & (token_count(F.col("text")) >= 3)
+        )
+        pairs = minhash_candidate_pairs(docs, num_hashes=4, bands=2)
+        return dedup_clusters(docs, pairs)
+
+    q["dedup_clusters"] = q_dedup_clusters
+
     def q_ngram_jaccard(spark, sf_dir):
         """n-gram Jaccard near-dup pipeline: LSH-banded candidates verified
         by exact 3-shingle-set Jaccard (operators/dedup.near_duplicates_minhash)."""
@@ -1373,6 +1392,7 @@ _PYTEST_ONLY = (
     "pack_sequences",
     "classifier_score",
     "cuckoo_filter",
+    "dedup_clusters",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1724,6 +1744,43 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
         WHERE a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id"""
+
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, unnest({_shingles_sql('duck')}) AS shingle
+          FROM documents
+          WHERE doc_id < 200 AND len({_TOKS_DUCK}) >= 3
+        ), seeded AS (
+          SELECT doc_id, shingle, unnest(generate_series(0, 3)) AS seed FROM sh
+        ), sig AS (
+          SELECT doc_id, seed,
+                 min(md5(cast(seed AS string) || '|' || shingle)) AS minhash
+          FROM seeded GROUP BY doc_id, seed
+        ), bands AS (
+          SELECT doc_id, cast(floor(seed / 2) AS int) AS band,
+                 md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+          FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS int)
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), nodes AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id < 200 AND len({_TOKS_DUCK}) >= 3
+        ), edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION
+          SELECT doc_b AS s, doc_a AS d FROM pairs
+        ), reach AS (
+          SELECT doc_id AS node, doc_id AS lbl FROM nodes
+          UNION
+          SELECT e.d AS node, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+        )
+        SELECT node AS doc_id, min(lbl) AS component,
+               (min(lbl) = node) AS is_keeper
+        FROM reach GROUP BY node"""
 
     o["sitemap_order"] = (
         _URLS_CTE
