@@ -94,6 +94,12 @@ class CrawlConfig:
     single_foreign_page: bool = False  # P13: no <a href> from foreign-d2l pages
     # --resolve overrides, curl syntax "domain:port:ip" (crawler.rs:179-191)
     resolve: tuple[str, ...] = ()
+    # URL-seen prefilter arm (north-star "partitioned cuckoo/bloom filter"):
+    # "bloom" (default, cheapest bits/key) or "cuckoo" (operators/cuckoo.py —
+    # deletable, so recrawl/invalidation pipelines can clear keys without a
+    # rebuild). Same no-false-negative contract, same checkpoint schema and
+    # wave plan either way; crawl output is bit-identical across arms.
+    seen_filter: str = "bloom"
 
     def __post_init__(self):
         # F13: accept the reference's delimited-PCRE config syntax

@@ -65,7 +65,7 @@ from .functions.urls import (
     make_resolve_udf,
 )
 from .operators.ordering import with_global_seq
-from .operators.seen import BloomState, SeenSet, key_bucket
+from .operators.seen import SeenSet, key_bucket
 from .sources.checkpoint import CheckpointStore
 
 FRONTIER_SCHEMA = (
@@ -159,7 +159,9 @@ class CrawlEngine:
         self.spark = spark
         self.config = config
         self.store = CheckpointStore(spark, checkpoint_dir)
-        self.seen = SeenSet(spark, n_buckets=n_buckets)
+        self.seen = SeenSet(
+            spark, n_buckets=n_buckets, kind=getattr(config, "seen_filter", "bloom")
+        )
         self.n_enqueued = 0
         self._wave_caches: list[DataFrame] = []
         self._wave_seq_start: dict[int, int] = {}
@@ -319,11 +321,8 @@ class CrawlEngine:
             "blooms", last_wave + 1, "bucket int, bits binary"
         ).collect()
         if bloom_rows:
-            self.seen.bloom = BloomState.from_rows(
-                [(r["bucket"], r["bits"]) for r in bloom_rows],
-                self.seen.n_buckets,
-                self.seen.bloom.m,
-                self.seen.bloom.k,
+            self.seen.restore_prefilter(
+                [(r["bucket"], r["bits"]) for r in bloom_rows]
             )
             self._bloom_ready = True
         elif self.n_enqueued >= self.seen.bloom_min_keys:
@@ -831,7 +830,7 @@ class CrawlEngine:
                 "blooms",
                 wave,
                 self.spark.createDataFrame(
-                    self.seen.bloom.to_rows(), "bucket int, bits binary"
+                    self.seen.prefilter_rows(), "bucket int, bits binary"
                 ),
             )
 
@@ -855,7 +854,7 @@ class CrawlEngine:
                     "blooms",
                     wave,
                     self.spark.createDataFrame(
-                        self.seen.bloom.to_rows(), "bucket int, bits binary"
+                        self.seen.prefilter_rows(), "bucket int, bits binary"
                     ),
                 )
         # parquet-backed seen keys: cut lineage, one scan over committed waves
@@ -865,22 +864,11 @@ class CrawlEngine:
         return n_new
 
     def _bloom_absorb(self, src: DataFrame, slice_rows: int) -> None:
-        """Fold a key slice into the bloom. Driver build while the slice is
-        modest; distributed per-bucket build (operators/seen.build_bloom_blobs)
-        above that — a 10^10-key seen set must never toPandas through the
-        driver. Shared by the per-wave path, external seeding, and resume."""
-        # driver build only for SMALL slices: the pandas path hashes keys
-        # single-threaded on the driver (pure serial-tail cost); above the
-        # cutoff the per-bucket applyInPandas build scales with cores
-        from .operators.seen import DRIVER_BLOOM_BUILD_MAX_KEYS
-
-        if slice_rows < DRIVER_BLOOM_BUILD_MAX_KEYS:
-            self.seen.bloom.add_keys(src.select("url_key", "bucket").toPandas())
-        else:
-            from .operators.seen import build_bloom_blobs
-
-            for b_, blob in build_bloom_blobs(src, self.seen.bloom.m, self.seen.bloom.k):
-                self.seen.bloom.merge_blob(b_, blob)
+        """Fold a key slice into the prefilter (bloom or cuckoo arm — the
+        driver-vs-distributed build cutoff and blob merge live behind
+        SeenSet.absorb). Shared by the per-wave path, external seeding,
+        and resume."""
+        self.seen.absorb(src, slice_rows)
         self._bloom_ready = True
 
     @staticmethod

@@ -27,9 +27,11 @@ Semantics contract (shared with the bloom arm, property-pinned in
 tests/test_cuckoo.py): `contains` has NO false negatives for present keys;
 false positives are safe (they only route a candidate into the exact
 anti-join). Unlike bloom, inserts can FAIL when a table is pathologically
-full; failed fingerprints spill to a per-bucket exact stash so the
-no-false-negative contract survives worst-case load (the stash is the
-standard "victim cache" from the paper, generalized to a list).
+full; failed fingerprints spill to a per-bucket exact stash of
+(row, fingerprint) pairs so the no-false-negative contract survives
+worst-case load (the stash is the standard "victim cache" from the paper,
+generalized to a list; keeping the row index keeps the stash check as
+tight as a table hit and lets `merge_blob` re-insert spilled victims).
 
 Reference parity note: the reference holds its seen set as one in-process
 DashMap keyed by MD5(url) (/root/reference/src/engine/crawler.rs:96-103) —
@@ -80,7 +82,8 @@ def _alt_index(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
 
 class CuckooState:
     """Per-bucket cuckoo tables: {bucket: (table ndarray[m, SLOTS] uint16,
-    stash list[int])}. Same driver-held/broadcast lifecycle as BloomState."""
+    stash list[(row, fp)])}. Same driver-held/broadcast lifecycle as
+    BloomState."""
 
     def __init__(self, n_buckets: int, rows_per_bucket: int = 1 << 15):
         if rows_per_bucket & (rows_per_bucket - 1):
@@ -88,7 +91,7 @@ class CuckooState:
         self.n_buckets = n_buckets
         self.m = rows_per_bucket
         self.tables: dict[int, np.ndarray] = {}
-        self.stash: dict[int, list[int]] = {}
+        self.stash: dict[int, list[tuple[int, int]]] = {}
 
     # ---------------------------------------------------------------- build
     def _table(self, b: int) -> np.ndarray:
@@ -96,7 +99,7 @@ class CuckooState:
             int(b), np.zeros((self.m, SLOTS), dtype=np.uint16)
         )
 
-    def _insert_one(self, tab: np.ndarray, stash: list[int], i1: int, fp: int) -> None:
+    def _insert_one(self, tab: np.ndarray, stash: list, i1: int, fp: int) -> None:
         i2 = int(_alt_index(np.array([i1]), np.array([fp], dtype=np.uint16), self.m)[0])
         for i in (i1, i2):
             free = np.flatnonzero(tab[i] == 0)
@@ -114,7 +117,9 @@ class CuckooState:
             if len(free):
                 tab[i, free[0]] = cur
                 return
-        stash.append(int(cur))  # table saturated: exact spill, never a miss
+        # table saturated: exact spill, never a miss — the victim's candidate
+        # row i pins its {i, i^h(fp)} pair for the index-aware stash check
+        stash.append((int(i), int(cur)))
 
     def add_keys(self, pdf: pd.DataFrame) -> None:
         """pdf columns: url_key, bucket. Insert loop is per-key (eviction is
@@ -147,7 +152,15 @@ class CuckooState:
             ).any(axis=1)
             st = self.stash.get(int(b))
             if st:
-                hit |= np.isin(fps, np.asarray(st, dtype=np.uint16))
+                s_i = np.asarray([e[0] for e in st], dtype=np.int64)
+                s_fp = np.asarray([e[1] for e in st], dtype=np.uint16)
+                # index-aware: a stash entry only matches keys whose row
+                # pair {i1, i2} contains its pinned row — same tightness
+                # as a table hit (the stash is tiny; broadcasting is fine)
+                hit |= (
+                    (s_fp[None, :] == fps[:, None])
+                    & ((s_i[None, :] == i1[:, None]) | (s_i[None, :] == i2[:, None]))
+                ).any(axis=1)
             out[grp.index.to_numpy()] = hit
         return out
 
@@ -175,22 +188,28 @@ class CuckooState:
                         removed += 1
                         done = True
                         break
-                if not done and fp in st:
-                    st.remove(fp)
-                    removed += 1
+                if not done:
+                    for e in st:
+                        if e[1] == fp and e[0] in (i1, i2):
+                            st.remove(e)
+                            removed += 1
+                            break
         return removed
 
     # -------------------------------------------------------- serialization
     def to_rows(self) -> list[tuple[int, bytes]]:
-        """(bucket, blob) rows; blob = table bytes + uint16 stash tail +
-        uint32 stash length footer. One blob per bucket, same checkpoint
-        shape as the bloom arm's bitsets."""
+        """(bucket, blob) rows; blob = table bytes + uint64-packed
+        (row << 16 | fp) stash tail + uint32 stash length footer. One blob
+        per bucket, same checkpoint shape as the bloom arm's bitsets."""
         rows = []
         for b in sorted(self.tables):
-            st = np.asarray(self.stash.get(b, []), dtype=np.uint16)
+            st = self.stash.get(b, [])
+            packed = np.asarray(
+                [(int(i) << 16) | int(fp) for i, fp in st], dtype=np.uint64
+            )
             blob = (
                 self.tables[b].tobytes()
-                + st.tobytes()
+                + packed.tobytes()
                 + np.uint32(len(st)).tobytes()
             )
             rows.append((b, blob))
@@ -207,11 +226,33 @@ class CuckooState:
                 .copy()
             )
             n_st = int(np.frombuffer(blob[-4:], dtype=np.uint32)[0])
-            s.stash[int(b)] = (
-                np.frombuffer(blob[body : body + 2 * n_st], dtype=np.uint16)
-                .tolist()
-            )
+            packed = np.frombuffer(blob[body : body + 8 * n_st], dtype=np.uint64)
+            s.stash[int(b)] = [
+                (int(p >> np.uint64(16)), int(p & np.uint64(0xFFFF))) for p in packed
+            ]
         return s
+
+    def merge_blob(self, bucket: int, blob: bytes) -> None:
+        """Fold another build's bucket blob into this state — the absorb
+        path for incremental (per-wave) distributed builds, mirroring
+        BloomState.merge_blob. Unlike bloom's bitwise OR, cuckoo tables
+        merge by re-inserting: an incoming fingerprint at row i re-enters
+        via the same {i, i ^ h(fp)} pair, so lookups stay exact. Incoming
+        keys are new-by-construction (the engine only absorbs post-anti-join
+        keys), so duplicate fingerprints are collisions, kept harmlessly."""
+        b = int(bucket)
+        incoming = CuckooState.from_rows([(b, blob)], self.n_buckets, self.m)
+        if b not in self.tables and not self.stash.get(b):
+            self.tables[b] = incoming.tables[b]
+            self.stash[b] = incoming.stash.get(b, [])
+            return
+        tab = self._table(b)
+        stash = self.stash.setdefault(b, [])
+        src = incoming.tables[b]
+        for i, s in zip(*np.nonzero(src)):
+            self._insert_one(tab, stash, int(i), int(src[i, s]))
+        for i, fp in incoming.stash.get(b, []):
+            self._insert_one(tab, stash, int(i), int(fp))
 
 
 def build_cuckoo_blobs(keys_df: DataFrame, rows_per_bucket: int) -> list[tuple[int, bytes]]:

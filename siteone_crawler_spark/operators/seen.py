@@ -134,13 +134,84 @@ def build_bloom_blobs(keys_df: DataFrame, m: int, k: int) -> list[tuple[int, byt
 
 
 class SeenSet:
-    """Exact key table (url_key, bucket) + BloomState prefilter."""
+    """Exact key table (url_key, bucket) + a probabilistic prefilter.
 
-    def __init__(self, spark, n_buckets: int = 64, bits_per_bucket: int = 1 << 17):
+    Two drop-in prefilter arms behind the same facade (the north-star's
+    "partitioned cuckoo/bloom URL-seen filter"):
+      - kind="bloom" (default): per-bucket bitsets, cheapest bits/key;
+      - kind="cuckoo" (operators/cuckoo.py): per-bucket fingerprint tables —
+        same no-false-negative contract PLUS deletion, so a recrawl/
+        invalidation pipeline can make URLs schedulable again without a
+        rebuild.
+    Both serialize as (bucket int, bits binary) rows, so the engine's
+    checkpoint table, absorb path, and filter_new plan are arm-agnostic.
+    """
+
+    def __init__(
+        self,
+        spark,
+        n_buckets: int = 64,
+        bits_per_bucket: int = 1 << 17,
+        kind: str = "bloom",
+        cuckoo_rows_per_bucket: int = 1 << 15,
+    ):
         self.spark = spark
         self.n_buckets = n_buckets
-        self.bloom = BloomState(n_buckets, bits_per_bucket)
+        self.kind = kind
+        if kind == "bloom":
+            self.prefilter = BloomState(n_buckets, bits_per_bucket)
+        elif kind == "cuckoo":
+            from .cuckoo import CuckooState
+
+            self.prefilter = CuckooState(n_buckets, cuckoo_rows_per_bucket)
+        else:
+            raise ValueError(f"unknown seen-filter kind: {kind!r}")
         self._keys: DataFrame | None = None  # columns: url_key, bucket
+
+    @property
+    def bloom(self):
+        """Back-compat alias for the prefilter state (bloom was the only arm
+        before the cuckoo one landed; engine/tests address the facade)."""
+        return self.prefilter
+
+    @bloom.setter
+    def bloom(self, state) -> None:
+        self.prefilter = state
+
+    # ---------------------------------------------- arm-agnostic operations
+    def absorb(self, src: DataFrame, slice_rows: int) -> None:
+        """Fold a (url_key, bucket) key slice into the prefilter. Driver
+        build while the slice is modest (a single-threaded pandas hash pass
+        is cheaper than a Spark stage); distributed per-bucket build above
+        the cutoff — a 10^10-key seen set must never toPandas through the
+        driver. Shared by the engine's per-wave path, external seeding,
+        resume, and SeenSet.add."""
+        if slice_rows < DRIVER_BLOOM_BUILD_MAX_KEYS:
+            self.prefilter.add_keys(src.select("url_key", "bucket").toPandas())
+        elif self.kind == "bloom":
+            for b, blob in build_bloom_blobs(src, self.prefilter.m, self.prefilter.k):
+                self.prefilter.merge_blob(b, blob)
+        else:
+            from .cuckoo import build_cuckoo_blobs
+
+            for b, blob in build_cuckoo_blobs(src, self.prefilter.m):
+                self.prefilter.merge_blob(b, blob)
+
+    def prefilter_rows(self) -> list[tuple[int, bytes]]:
+        """(bucket, blob) checkpoint rows — same schema for both arms."""
+        return self.prefilter.to_rows()
+
+    def restore_prefilter(self, rows: list[tuple[int, bytes]]) -> None:
+        if self.kind == "bloom":
+            self.prefilter = BloomState.from_rows(
+                rows, self.n_buckets, self.prefilter.m, self.prefilter.k
+            )
+        else:
+            from .cuckoo import CuckooState
+
+            self.prefilter = CuckooState.from_rows(
+                rows, self.n_buckets, self.prefilter.m
+            )
 
     @property
     def keys(self) -> DataFrame:
@@ -162,11 +233,7 @@ class SeenSet:
             "url_key", key_bucket(F.col("url_key"), self.n_buckets).alias("bucket")
         )
         n = n_keys if n_keys is not None else kb.count()
-        if n < DRIVER_BLOOM_BUILD_MAX_KEYS:
-            self.bloom.add_keys(kb.toPandas())
-        else:
-            for b, blob in build_bloom_blobs(kb, self.bloom.m, self.bloom.k):
-                self.bloom.merge_blob(b, blob)
+        self.absorb(kb, n)
         self._keys = self.keys.unionByName(kb)
 
     # below this many seen keys the bloom prefilter costs more (one extra
@@ -194,12 +261,24 @@ class SeenSet:
             )
         cand = candidates.withColumn("__bucket", key_bucket(F.col(key_col), self.n_buckets))
         bc = spark.sparkContext.broadcast(
-            {"rows": self.bloom.to_rows(), "m": self.bloom.m, "k": self.bloom.k, "B": self.n_buckets}
+            {
+                "kind": self.kind,
+                "rows": self.prefilter_rows(),
+                "m": self.prefilter.m,
+                "k": getattr(self.prefilter, "k", None),
+                "B": self.n_buckets,
+            }
         )
 
         @F.pandas_udf("boolean")
         def maybe_seen(keys: pd.Series, buckets: pd.Series) -> pd.Series:
-            st = BloomState.from_rows(bc.value["rows"], bc.value["B"], bc.value["m"], bc.value["k"])
+            v = bc.value
+            if v["kind"] == "bloom":
+                st = BloomState.from_rows(v["rows"], v["B"], v["m"], v["k"])
+            else:
+                from siteone_crawler_spark.operators.cuckoo import CuckooState
+
+                st = CuckooState.from_rows(v["rows"], v["B"], v["m"])
             pdf = pd.DataFrame({"url_key": keys, "bucket": buckets}).reset_index(drop=True)
             return pd.Series(st.contains(pdf))
 

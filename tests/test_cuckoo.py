@@ -154,3 +154,118 @@ def test_alt_index_involution():
 def test_power_of_two_enforced():
     with pytest.raises(ValueError):
         CuckooState(4, rows_per_bucket=1000)
+
+
+def test_seen_set_cuckoo_arm_filter_new(spark):
+    """SeenSet(kind='cuckoo') must route filter_new through the cuckoo UDF
+    with the exact same semantics as the bloom arm (and the ground truth)."""
+    from siteone_crawler_spark.operators.seen import SeenSet
+
+    seen = SeenSet(spark, n_buckets=4, kind="cuckoo", cuckoo_rows_per_bucket=1 << 11)
+    seen.bloom_min_keys = 1  # force the prefilter path
+    keys = spark.createDataFrame(
+        [(f"{i:032x}",) for i in range(200)], "url_key string"
+    )
+    seen._keys = keys.withColumn("bucket", key_bucket(F.col("url_key"), 4))
+    seen.absorb(seen._keys, 200)
+
+    cands = spark.createDataFrame(
+        [(f"{i:032x}",) for i in range(150, 300)], "url_key string"
+    )
+    got = {r["url_key"] for r in seen.filter_new(cands, n_seen=200).collect()}
+    assert got == {f"{i:032x}" for i in range(200, 300)}
+
+
+def test_merge_blob_absorbs_increments(spark):
+    """Two incremental distributed builds merged into one state must accept
+    the union — the engine's per-wave absorb path for the cuckoo arm."""
+    n_buckets = 4
+    a = _keys(1500, "mrg-a-")
+    b = _keys(1500, "mrg-b-")
+    st = CuckooState(n_buckets, rows_per_bucket=1 << 11)
+    for part in (a, b):
+        df = spark.createDataFrame([(k,) for k in part], "url_key string").select(
+            "url_key", key_bucket(F.col("url_key"), n_buckets).alias("bucket")
+        )
+        for bk, blob in build_cuckoo_blobs(df, rows_per_bucket=1 << 11):
+            st.merge_blob(bk, blob)
+    both = _bucketed(spark, a + b, n_buckets)
+    assert st.contains(both).all()
+
+
+def _crawl_tables(spark, site, cfg, ckpt, min_keys=None, max_waves=None):
+    from siteone_crawler_spark.engine import CrawlEngine
+    from siteone_crawler_spark.generator import site_to_dfs
+
+    docs, meta, _robots, _seeds = site_to_dfs(spark, site)
+    eng = CrawlEngine(spark, cfg, str(ckpt), n_buckets=8)
+    if min_keys is not None:
+        eng.seen.bloom_min_keys = min_keys
+    kw = {} if max_waves is None else {"max_waves": max_waves}
+    return eng, eng.run(docs, meta, site.robots, site.seeds, **kw)
+
+
+def test_engine_cuckoo_arm_crawl_parity(spark, tmp_path):
+    """Full engine crawl with the cuckoo arm FORCED onto the prefilter path
+    must be bit-identical to the bloom arm and to the simulator's order —
+    the drop-in-sibling contract (config.seen_filter)."""
+    from siteone_crawler_spark.config import CrawlConfig
+    from siteone_crawler_spark.generator import generate_site
+    from siteone_crawler_spark.simulator import simulate
+
+    site = generate_site(seed=42, n_hosts=2, docs_per_host=20)
+    base = dict(allowed_domains=("*.example.test",))
+    sim = simulate(site, CrawlConfig(**base))
+
+    _, bloom_t = _crawl_tables(
+        spark, site, CrawlConfig(**base), tmp_path / "bloom", min_keys=1
+    )
+    _, cuckoo_t = _crawl_tables(
+        spark,
+        site,
+        CrawlConfig(**base, seen_filter="cuckoo"),
+        tmp_path / "cuckoo",
+        min_keys=1,
+    )
+    exp = [t[:7] for t in sim.crawl_order]
+    for tables in (bloom_t, cuckoo_t):
+        got = [
+            (r["seq"], r["url"], r["uq_id"], r["source_uq_id"], r["source_attr"],
+             r["wave"], r["status_code"])
+            for r in tables["visited"].orderBy("seq").collect()
+        ]
+        assert got == exp
+    for t in ("visited", "frontier", "skipped"):
+        a = sorted(map(tuple, bloom_t[t].collect()))
+        b = sorted(map(tuple, cuckoo_t[t].collect()))
+        assert a == b, f"table {t} differs between seen-filter arms"
+
+
+def test_engine_cuckoo_arm_resume(spark, tmp_path):
+    """Kill-and-resume with the cuckoo arm restores the prefilter from the
+    checkpointed blobs (same 'blooms' table schema) bit-identically."""
+    from siteone_crawler_spark.config import CrawlConfig
+    from siteone_crawler_spark.engine import CrawlEngine
+    from siteone_crawler_spark.generator import generate_site, site_to_dfs
+
+    site = generate_site(seed=3, n_hosts=2, docs_per_host=15)
+    cfg = CrawlConfig(allowed_domains=("*.example.test",), seen_filter="cuckoo")
+
+    _, full = _crawl_tables(spark, site, cfg, tmp_path / "full", min_keys=1)
+
+    docs, meta, _r, _s = site_to_dfs(spark, site)
+    e1 = CrawlEngine(spark, cfg, str(tmp_path / "part"), n_buckets=8)
+    e1.seen.bloom_min_keys = 1
+    e1.run(docs, meta, site.robots, site.seeds, max_waves=2)
+    assert not e1.store.read_manifest()["done"]
+    e2 = CrawlEngine(spark, cfg, str(tmp_path / "part"), n_buckets=8)
+    e2.seen.bloom_min_keys = 1
+    resumed = e2.run(docs, meta, site.robots, site.seeds)
+    assert e2.store.read_manifest()["done"]
+    from siteone_crawler_spark.operators.cuckoo import CuckooState
+
+    assert isinstance(e2.seen.prefilter, CuckooState)
+    for t in ("visited", "frontier", "skipped"):
+        a = sorted(map(tuple, full[t].collect()))
+        b = sorted(map(tuple, resumed[t].collect()))
+        assert a == b, f"table {t} differs after cuckoo-arm resume"
