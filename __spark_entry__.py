@@ -729,6 +729,68 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = q_dedup_clusters
 
+    def q_pagerank(spark, sf_dir):
+        """Link-authority prior (operators/graph.py): 3 power steps over a
+        deterministic synthetic link graph both engines derive from
+        documents (doc d -> (d*d+1)%120 and (13d+3)%120 (the quadratic map is non-bijective, so in-degrees skew), self-loops
+        dropped). The oracle unrolls the same iterations as chained CTEs;
+        ranks rounded to 6 dp on both sides."""
+        from siteone_crawler_spark.operators.graph import pagerank
+
+        _register(spark, sf_dir)
+        d = spark.table("documents").filter(F.col("doc_id") < 120).select("doc_id")
+        e = (
+            d.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * F.col("doc_id") + 1) % 120).alias("dst"),
+            )
+            .union(
+                d.select(
+                    F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 13 + 3) % 120).alias("dst"),
+                )
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        pr = pagerank(e, iterations=3)
+        return pr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+        )
+
+    q["pagerank"] = q_pagerank
+
+    def q_gopher_quality(spark, sf_dir):
+        """Gopher §A1.1 quality rules (functions/text.gopher_flags): the
+        corpus has no newlines/bullets, so both sides append the same two
+        synthetic lines (a bullet item on every 3rd doc, a trailing
+        ellipsis on every 4th) to exercise the line-level rules."""
+        from siteone_crawler_spark.functions.text import gopher_flags
+
+        _register(spark, sf_dir)
+        aug = spark.table("documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                # even docs double their body: past the 50-word floor ->
+                # keep flips per row instead of being constant
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(F.col("text"), F.lit(" "), F.col("text")),
+                ).otherwise(F.col("text")),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("- bullet item"))
+                .otherwise(F.lit("plain line")),
+                F.when(F.col("doc_id") % 4 == 0, F.lit("to be continued..."))
+                .otherwise(F.lit("### markdown heading")),
+                F.lit("filler line one"),
+                F.lit("filler line two"),
+            ).alias("text"),
+        )
+        return aug.select("doc_id", gopher_flags(F.col("text")).alias("g")).select(
+            "doc_id", "g.*"
+        )
+
+    q["gopher_quality"] = q_gopher_quality
+
     def q_ngram_jaccard(spark, sf_dir):
         """n-gram Jaccard near-dup pipeline: LSH-banded candidates verified
         by exact 3-shingle-set Jaccard (operators/dedup.near_duplicates_minhash)."""
@@ -1393,6 +1455,8 @@ _PYTEST_ONLY = (
     "classifier_score",
     "cuckoo_filter",
     "dedup_clusters",
+    "pagerank",
+    "gopher_quality",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1781,6 +1845,87 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, min(lbl) AS component,
                (min(lbl) = node) AS is_keeper
         FROM reach GROUP BY node"""
+
+    # pagerank: the same 3 power steps as the Spark operator, unrolled as
+    # chained CTEs (recursive CTEs cannot aggregate over the recursive
+    # reference, so fixed iterations unroll instead)
+    _pr = """
+        WITH e0 AS (
+          SELECT doc_id AS src, (doc_id*doc_id+1) % 120 AS dst
+          FROM documents WHERE doc_id < 120
+          UNION
+          SELECT doc_id AS src, (doc_id*13+3) % 120 AS dst
+          FROM documents WHERE doc_id < 120
+        ), e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION SELECT dst AS node FROM e)
+        ), nn AS (SELECT count(*) AS c FROM nodes),
+        deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0/(SELECT c FROM nn) AS rank FROM nodes)"""
+    for _i in range(3):
+        _pr += f""",
+        d{_i} AS (SELECT coalesce(sum(rank), 0) AS m FROM r{_i}
+                  WHERE node NOT IN (SELECT src FROM deg)),
+        c{_i} AS (SELECT e.dst AS node, sum(r{_i}.rank / deg.od) AS ir
+                  FROM e JOIN r{_i} ON e.src = r{_i}.node
+                  JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        r{_i + 1} AS (SELECT nodes.node,
+                  0.15/(SELECT c FROM nn)
+                  + 0.85*(coalesce(c{_i}.ir, 0)
+                          + (SELECT m FROM d{_i})/(SELECT c FROM nn)) AS rank
+                  FROM nodes LEFT JOIN c{_i} ON nodes.node = c{_i}.node)"""
+    o["pagerank"] = _pr + "\n        SELECT node AS doc_id, round(rank, 6) AS rank FROM r3"
+
+    o["gopher_quality"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN text || ' ' || text
+                      ELSE text END || chr(10)
+                      || CASE WHEN doc_id % 3 = 0 THEN '- bullet item'
+                              ELSE 'plain line' END
+                      || chr(10)
+                      || CASE WHEN doc_id % 4 = 0 THEN 'to be continued...'
+                              ELSE '### markdown heading' END
+                      || chr(10) || 'filler line one'
+                      || chr(10) || 'filler line two' AS text
+          FROM documents
+        ), base AS (
+          SELECT doc_id, text, {_TOKS_DUCK} AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM aug
+        ), sig AS (
+          SELECT doc_id,
+                 len(toks) AS word_count,
+                 round(CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                     / len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+                 round(CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                     / len(toks) ELSE 0.0 END, 6) AS alpha_word_ratio,
+                 round(CASE WHEN len(toks) > 0 THEN
+                   ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                     / len(toks) ELSE 0.0 END, 6) AS symbol_word_ratio,
+                 round(len(list_filter(lines, l ->
+                     l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))::DOUBLE
+                   / len(lines), 6) AS bullet_line_ratio,
+                 round(len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE
+                   / len(lines), 6) AS ellipsis_line_ratio,
+                 len(list_filter(list_distinct(toks), t -> t IN
+                   ('the','be','to','of','and','that','have','with')))
+                   AS stop_hits
+          FROM base
+        )
+        SELECT doc_id, word_count, mean_word_len, alpha_word_ratio,
+               symbol_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
+               stop_hits,
+               (word_count >= 50 AND word_count <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+                AND stop_hits >= 2) AS keep
+        FROM sig"""
 
     o["sitemap_order"] = (
         _URLS_CTE

@@ -72,6 +72,7 @@ FRONTIER_SCHEMA = (
     "url string, url_key string, uq_id string, host string, path string, ext string,"
     " depth int, wave int, seq long, source_uq_id string, source_attr int"
 )
+FRONTIER_COLS = [c.split(" ")[0] for c in FRONTIER_SCHEMA.replace(", ", ",").split(",")]
 VISITED_SCHEMA = FRONTIER_SCHEMA + (
     ", status_code int, content_type_header string, size long, request_time_ms double,"
     " headers map<string,string>, cache_type_flags int, cache_lifetime int"
@@ -256,6 +257,45 @@ class CrawlEngine:
         for h in self._wave_caches:
             h.unpersist()
         self._wave_caches.clear()
+
+    def invalidate(self, urls: list[str]) -> int:
+        """Mark already-crawled URLs for recrawl; returns how many matched.
+
+        Re-queues each URL's ORIGINAL frontier row (same url_key/uq_id/
+        depth/seq — seq is the URL's stable first-enqueue identity) through
+        the `deferred` table at the next wave index, which is empty once a
+        crawl is done, then clears the manifest's done flag. The next
+        `run()` resumes, fetches exactly these URLs, and re-extracts: links
+        they yield stay deduped against the intact seen set, so the recrawl
+        touches only the invalidated pages plus genuinely NEW links (site
+        changed since the last crawl). No committed state is rewritten —
+        `visited` becomes a fetch LOG where a recrawled URL appears once
+        per crawl generation, distinguishable by `wave` (consumers wanting
+        current-state take max(wave) per seq).
+
+        The reference has no recrawl (one process = one crawl, then the
+        seen DashMap dies, crawler.rs:96-103); at cluster scale re-fetching
+        10^10 URLs to refresh 10^4 is not an option, which is what this +
+        SeenSet.remove (organic rediscovery variant) exist for."""
+        manifest = self.store.read_manifest()
+        last = manifest["last_wave"]
+        if last < 0:
+            raise ValueError("no committed crawl state to invalidate")
+        if not manifest.get("done"):
+            raise ValueError("invalidate() runs between crawls; resume first")
+        w = last + 1
+        batch = list(dict.fromkeys(urls))
+        urls_df = self.spark.createDataFrame([(u,) for u in batch], "url string")
+        rows = (
+            self.store.read_all("frontier", w, FRONTIER_SCHEMA)
+            .join(F.broadcast(urls_df), on=["url"], how="left_semi")
+            .select(*FRONTIER_COLS)
+        )
+        self.store.write_table("deferred", w, rows)
+        n = self.store.count_rows("deferred", w)
+        if n:
+            self.store.commit_wave(last, done=False)
+        return n
 
     def seed_frontier(self, frontier: DataFrame) -> None:
         """Install an externally-built wave-0 frontier (FRONTIER_SCHEMA

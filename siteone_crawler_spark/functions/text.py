@@ -160,3 +160,82 @@ def ngram_repetition(col, n: int = 3) -> Column:
         n_total > 0,
         (n_total - F.size(F.array_distinct(sh))).cast("double") / n_total,
     ).otherwise(F.lit(0.0))
+
+
+# Gopher document-quality rules (Rae et al., "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", 2021, §A1.1 — public).
+# Thresholds as published; every rule is a per-row native expression (no
+# shuffle, no UDF), so the filter runs scan-side at any corpus scale.
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(col) -> "Column":
+    """Struct of the Gopher §A1.1 quality signals + the composite keep flag.
+
+    Fields: word_count, mean_word_len, alpha_word_ratio, symbol_word_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, stop_hits, keep. Ratios are
+    rounded to 6 dp BEFORE the threshold comparisons so the keep flag is
+    bit-stable across engines (an unrounded 0.1-vs-0.1+1e-17 boundary would
+    flip between float sum orders); the same rounding is documented for the
+    DuckDB oracle twin."""
+    toks = norm_tokens(col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    r6 = lambda c: F.round(c, 6)  # noqa: E731 — local shorthand
+
+    mean_wl = r6(
+        F.when(n > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / nd)
+        .otherwise(F.lit(0.0))
+    )
+    alpha_ratio = r6(
+        F.when(n > 0, F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nd)
+        .otherwise(F.lit(0.0))
+    )
+    # '#' and '...' occurrences per word (non-overlapping leftmost count via
+    # replace-length delta — identical semantics in DuckDB)
+    n_hash = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    n_ellipsis = (F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))) / 3
+    symbol_ratio = r6(
+        F.when(n > 0, (n_hash + n_ellipsis) / nd).otherwise(F.lit(0.0))
+    )
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = r6(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_line_ratio = r6(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPS]),
+        )
+    )
+    keep = (
+        (n >= 50)
+        & (n <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_ratio <= 0.9)
+        & (ellipsis_line_ratio <= 0.3)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return F.struct(
+        n.alias("word_count"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_line_ratio.alias("ellipsis_line_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )

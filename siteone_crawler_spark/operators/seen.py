@@ -197,6 +197,33 @@ class SeenSet:
             for b, blob in build_cuckoo_blobs(src, self.prefilter.m):
                 self.prefilter.merge_blob(b, blob)
 
+    def remove(self, keys: DataFrame) -> None:
+        """Remove keys from the seen set (recrawl/invalidation): the URLs
+        become enqueue-able again the next time a link reaches filter_new.
+
+        The exact table drops the keys (anti-join) — that alone is CORRECT
+        on both arms, because a stale prefilter positive is safe: it only
+        routes the key into the exact anti-join, which now misses, so the
+        key passes. The arms differ in hygiene: the cuckoo arm also deletes
+        the fingerprints (the filter stays tight across unbounded
+        invalidation cycles — the capability it exists for), while bloom
+        bits cannot clear, so stale positives accumulate as extra
+        exact-join traffic until a periodic rebuild (absorb over the
+        remaining keys into a fresh BloomState).
+
+        `keys`: DataFrame with a url_key column. Invalidation batches are
+        operator-issued and modest (a recrawl list, an expiry sweep), so
+        the cuckoo delete runs driver-side; a 10^8-key purge would instead
+        rebuild the affected buckets distributed, like absorb."""
+        kb = keys.select(
+            "url_key", key_bucket(F.col("url_key"), self.n_buckets).alias("bucket")
+        )
+        self._keys = self.keys.join(
+            kb.select("url_key"), on=["url_key"], how="left_anti"
+        )
+        if self.kind == "cuckoo":
+            self.prefilter.delete_keys(kb.toPandas())
+
     def prefilter_rows(self) -> list[tuple[int, bytes]]:
         """(bucket, blob) checkpoint rows — same schema for both arms."""
         return self.prefilter.to_rows()

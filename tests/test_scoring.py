@@ -130,3 +130,35 @@ def test_crawl_quality_integration(spark, tmp_path):
     assert scores.overall.score >= 7.0, (scores.overall, summary)
     gate = evaluate_ci_gate(scores, stats, summary, min_score=7.0)
     assert gate.exit_code == 0, gate.checks
+
+
+def test_gopher_flags_rule_vectors(spark):
+    """Each Gopher §A1.1 rule trips on a targeted vector (functions/text.
+    gopher_flags); the oracle pair `gopher_quality` covers corpus-wide
+    parity, this pins per-rule behavior."""
+    from siteone_crawler_spark.functions.text import gopher_flags
+    from pyspark.sql import functions as F
+
+    good = ("the data be of good and that quality have grown with time " * 6).strip()
+    vectors = [
+        ("ok", good, True),
+        ("too_short", "the be of and that have with tiny", False),
+        ("symbol_soup", good + " " + "# " * 40, False),
+        ("bullets", good + ("\n- item" * 30), False),
+        ("ellipsis_lines", good + ("\nwait for it..." * 9), False),
+        ("no_stopwords", ("alpha beta gamma delta epsilon zeta " * 12).strip(), False),
+        ("long_words", ("pneumonoultramicroscopics " * 60).strip(), False),
+    ]
+    df = spark.createDataFrame(
+        [(n, t) for n, t, _ in vectors], "name string, text string"
+    )
+    got = {
+        r["name"]: r["g"]
+        for r in df.select("name", gopher_flags(F.col("text")).alias("g")).collect()
+    }
+    for name, _, want_keep in vectors:
+        assert got[name]["keep"] == want_keep, (name, got[name].asDict())
+    assert got["bullets"]["bullet_line_ratio"] > 0.9
+    assert got["ellipsis_lines"]["ellipsis_line_ratio"] > 0.3
+    assert got["no_stopwords"]["stop_hits"] == 0
+    assert got["long_words"]["mean_word_len"] > 10
