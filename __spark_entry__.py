@@ -791,6 +791,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_quality"] = q_gopher_quality
 
+    def q_repeated_windows(spark, sf_dir):
+        """Exact repeated-window stats (operators/dedup.repeated_window_
+        stats, the fixed-stride exact-substring dedup): both sides append
+        the same 9-token sentence to every 3rd doc, so cross-doc repeated
+        5-token windows exist by construction."""
+        from siteone_crawler_spark.operators.dedup import repeated_window_stats
+
+        _register(spark, sf_dir)
+        tail = " the quick brown fox jumps over the lazy dog"
+        aug = spark.table("documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(tail))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return repeated_window_stats(aug, window=5)
+
+    q["repeated_windows"] = q_repeated_windows
+
     def q_ngram_jaccard(spark, sf_dir):
         """n-gram Jaccard near-dup pipeline: LSH-banded candidates verified
         by exact 3-shingle-set Jaccard (operators/dedup.near_duplicates_minhash)."""
@@ -1447,16 +1468,22 @@ _PYTEST_ONLY = (
     "visited_content_type_stats",
     "visited_source_domain_stats",
     "visited_basic_stats",
-    # post-width training ops (gate already holds 6 first-class training
-    # rows); full DuckDB oracles run in the pytest gate
+    # two more variant rows displaced (r5) so the strongest new operators —
+    # near-dup cluster closure and PageRank — are certified by the hard
+    # driver gate instead: each displaced row is a per-dimension twin of a
+    # still-gated aggregation (caching_stats_domain / dns_stats)
+    "caching_stats_content_type",
+    "dns_stats_resolve",
+    # post-width training ops (gate already holds 8 first-class training
+    # rows incl. dedup_clusters/pagerank); full DuckDB oracles run in the
+    # pytest gate
     "line_boilerplate",
     "temperature_sample",
     "pack_sequences",
     "classifier_score",
     "cuckoo_filter",
-    "dedup_clusters",
-    "pagerank",
     "gopher_quality",
+    "repeated_windows",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1926,6 +1953,32 @@ def _all_oracle_sql() -> dict[str, str]:
                 AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
                 AND stop_hits >= 2) AS keep
         FROM sig"""
+
+    o["repeated_windows"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' the quick brown fox jumps over the lazy dog'
+                      ELSE text END AS text
+          FROM documents
+        ), occ AS (
+          SELECT doc_id, md5(w) AS h FROM (
+            SELECT doc_id, unnest({_shingles_sql('duck', 5)}) AS w FROM aug)
+        ), hot AS (
+          SELECT h FROM occ GROUP BY h HAVING count(*) >= 2
+        ), per AS (
+          SELECT doc_id, count(*) AS n_repeated FROM occ
+          WHERE h IN (SELECT h FROM hot) GROUP BY doc_id
+        ), base AS (
+          SELECT doc_id, greatest(len({_TOKS_DUCK}) - 4, 0) AS n_windows
+          FROM aug
+        )
+        SELECT base.doc_id, n_windows,
+               coalesce(per.n_repeated, 0) AS n_repeated,
+               round(CASE WHEN n_windows > 0
+                     THEN coalesce(per.n_repeated, 0) / n_windows
+                     ELSE 0.0 END, 6) AS repeated_ratio
+        FROM base LEFT JOIN per ON base.doc_id = per.doc_id"""
 
     o["sitemap_order"] = (
         _URLS_CTE

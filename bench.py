@@ -249,6 +249,7 @@ def run_queries(spark) -> tuple[dict, dict]:
         "hash_sample", "stratified_sample", "repetition_ratio",
         "pii_scan", "pii_redact", "decontamination", "line_boilerplate",
         "temperature_sample", "pack_sequences",
+        "dedup_clusters", "pagerank", "classifier_score", "gopher_quality",
     ]
     qs = {**E.queries(), **E.extra_queries()}
 

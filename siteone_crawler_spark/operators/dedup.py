@@ -420,3 +420,64 @@ def cdc_near_duplicates(
         )
         .filter(F.col("overlap") >= threshold)
     )
+
+
+def repeated_window_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-window detection — the fixed-stride variant of
+    exact-substring dedup (Lee, Ippolito, Nystrom, Zhang, Eck, Callison-
+    Burch, Carlini — "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022, public; their suffix-array substrings become
+    `window`-token rolling windows here, the granularity a shuffle-based
+    engine can count globally).
+
+    A window whose corpus-wide occurrence count >= min_count (duplicates
+    inside one document count too) marks exactly-repeated text a training
+    pipeline cuts or down-weights. Output per doc: n_windows, n_repeated
+    (occurrences in repeated windows), repeated_ratio.
+
+    Plan: explode windows -> md5 the window BEFORE the exchange (32-byte
+    keys shuffle instead of ~6x-larger window strings) -> hash-count ->
+    semi-join occurrences back -> per-doc aggregate. Same inverted-index
+    shape as cdc_near_duplicates; map-side partial counts; no windows
+    (the SQL kind), no Python."""
+    from siteone_crawler_spark.functions.text import token_count, word_shingles
+
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), window)).alias("__w"),
+    ).select("doc_id", F.md5("__w").alias("h"))
+    hot = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("h")
+    )
+    per_doc = (
+        occ.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_repeated"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            token_count(F.col(text_col)) - (window - 1), F.lit(0)
+        ).alias("n_windows"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+        F.round(
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce("n_repeated", F.lit(0)) / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("repeated_ratio"),
+    )

@@ -412,3 +412,30 @@ def test_ann_recall_floor(spark):
     # 50 relevant results across 5 queries; generous multiprobe/nprobe
     assert srp_hits / 50 >= 0.3, srp_hits
     assert ivf_hits / 50 >= 0.4, ivf_hits
+
+
+def test_repeated_window_stats(spark):
+    """Exact repeated-window detection: planted cross-doc and within-doc
+    repeats are counted; unique text reports zero."""
+    from siteone_crawler_spark.operators.dedup import repeated_window_stats
+
+    sent = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"one two three {sent} four five six"),
+        (2, f"seven eight nine {sent} ten eleven twelve"),  # shares sent w/ 1
+        (3, "unique words only here nothing shared at all today"),
+        (4, f"{sent} {sent}"),  # within-doc repeat counts too
+        (5, "tiny"),  # fewer tokens than the window -> 0 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_repeated"])
+        for r in repeated_window_stats(df, window=5).collect()
+    }
+    assert len(got) == 5
+    assert got[5] == (0, 0)
+    assert got[3][1] == 0  # unique doc: no repeated windows
+    assert got[1][1] >= 1 and got[2][1] >= 1  # the shared sentence window
+    assert got[4][1] >= 2  # both occurrences of the repeated window count
+    # window accounting: n_tokens - window + 1 = 11 - 5 + 1
+    assert got[1][0] == 7
