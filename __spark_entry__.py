@@ -812,6 +812,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repeated_windows"] = q_repeated_windows
 
+    def q_split_assign(spark, sf_dir):
+        """Deterministic 80/10/10 train/val/test assignment (operators/
+        sampling.split_assign): content-addressed md5 thresholds, disjoint
+        and exhaustive by construction — the oracle is the same CASE."""
+        from siteone_crawler_spark.operators.sampling import split_assign
+
+        _register(spark, sf_dir)
+        return split_assign(
+            spark.table("documents").select("doc_id"),
+            key="doc_id",
+            splits={"train": 0.8, "val": 0.1, "test": 0.1},
+            salt="sp1",
+        )
+
+    q["split_assign"] = q_split_assign
+
     def q_ngram_jaccard(spark, sf_dir):
         """n-gram Jaccard near-dup pipeline: LSH-banded candidates verified
         by exact 3-shingle-set Jaccard (operators/dedup.near_duplicates_minhash)."""
@@ -1484,6 +1500,7 @@ _PYTEST_ONLY = (
     "cuckoo_filter",
     "gopher_quality",
     "repeated_windows",
+    "split_assign",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1979,6 +1996,15 @@ def _all_oracle_sql() -> dict[str, str]:
                      THEN coalesce(per.n_repeated, 0) / n_windows
                      ELSE 0.0 END, 6) AS repeated_ratio
         FROM base LEFT JOIN per ON base.doc_id = per.doc_id"""
+
+    o["split_assign"] = """
+        SELECT doc_id,
+               CASE WHEN substr(md5(cast(doc_id AS varchar) || 'sp1'), 1, 4)
+                         < '1999' THEN 'val'
+                    WHEN substr(md5(cast(doc_id AS varchar) || 'sp1'), 1, 4)
+                         < '3333' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents"""
 
     o["sitemap_order"] = (
         _URLS_CTE

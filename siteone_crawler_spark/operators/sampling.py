@@ -185,3 +185,45 @@ def pack_sequences(
             F.floor((F.col("__cum") - F.col("n_tokens")) / seq_len).alias("pack_id"),
         )
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    col_name: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one `split` label per row,
+    content-addressed like hash_sample — md5(key||salt) hex prefix against
+    the cumulative fraction thresholds, so the SAME row lands in the SAME
+    split across reruns, engines and repartitionings, and the splits are
+    disjoint/exhaustive by construction. A scan-side projection: no
+    shuffle, no RNG state, no driver involvement.
+
+    `splits` maps label -> fraction (resolution 1/65536, like
+    sample_threshold_hex); fractions must sum to <= 1.0 and the remainder
+    falls into the FIRST label (the conventional "train gets the rest").
+    Default 98/1/1 train/val/test. Label assignment order is the dict
+    order, so callers control which boundaries move when fractions change
+    (append new splits at the end to keep old assignments stable)."""
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if sum(splits.values()) > 1.0 + 1e-9:
+        raise ValueError("split fractions must sum to <= 1.0")
+    h = F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 4
+    )
+    labels = list(splits)
+    # cumulative upper bounds, skipping the first label (it absorbs the
+    # remainder: anything not claimed by a later threshold)
+    cum = 0.0
+    expr = F.lit(labels[0])
+    bounds = []
+    for lab in labels[1:]:
+        cum += splits[lab]
+        bounds.append((lab, sample_threshold_hex(cum)))
+    # evaluate in reverse: the smallest threshold wins the lowest hashes
+    for lab, thr in reversed(bounds):
+        expr = F.when(h < F.lit(thr), F.lit(lab)).otherwise(expr)
+    return df.withColumn(col_name, expr)

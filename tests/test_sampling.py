@@ -189,3 +189,44 @@ def test_pack_sequences_plan_no_global_window(spark):
     import re
     m = re.search(r"Window \[[^\]]*\], \[shard", plan)
     assert m, plan[:1500]
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark):
+    from siteone_crawler_spark.operators.sampling import split_assign
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = split_assign(
+        df, key="doc_id", splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="t1",
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 2000  # exhaustive, one label per row
+    import collections
+
+    counts = collections.Counter(rows.values())
+    assert set(counts) == {"train", "val", "test"}
+    # fractions approximate the request (binomial slack)
+    assert 0.74 < counts["train"] / 2000 < 0.86
+    assert 0.06 < counts["val"] / 2000 < 0.14
+    assert 0.06 < counts["test"] / 2000 < 0.14
+    # content-addressed: rerun identical; new salt reshuffles
+    rows2 = {r["doc_id"]: r["split"] for r in split_assign(
+        df, key="doc_id", splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="t1",
+    ).collect()}
+    assert rows == rows2
+    rows3 = {r["doc_id"]: r["split"] for r in split_assign(
+        df, key="doc_id", splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="t2",
+    ).collect()}
+    assert rows != rows3
+
+
+def test_split_assign_rejects_over_unity(spark):
+    import pytest
+
+    from siteone_crawler_spark.operators.sampling import split_assign
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        split_assign(df, key="doc_id", splits={"a": 0.9, "b": 0.2})
