@@ -14,8 +14,10 @@ count — at 100 TB the difference is executor OOM vs smooth scan.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -146,3 +148,58 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.lit(every_ms),
     )
     return v.select("media_id", F.explode(ts).alias("frame_ts"))
+
+
+RESIZE_SCHEMA = (
+    "media_id string, kind string, width int, height int, payload binary, ok boolean"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads to (width, height) via mapInPandas — the last
+    of the brief's four media ops (decode / featurize / resize /
+    frame-sample). Same honesty contract as extract_features: with
+    fake=False the task raises NotImplementedError (no PIL/ffmpeg in this
+    container); fake=True emits a deterministic stand-in payload of
+    width*height//64 bytes derived from the source bytes, so partitioning,
+    Arrow batch shape, output schema and downstream size accounting are
+    all real and testable. Non-image rows pass through with ok=false and
+    a null payload (the filter stays in the plan, not in Python)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs (PIL/ffmpeg) are not available in this "
+                    "environment; pass fake=True for the deterministic stub"
+                )
+
+            def rz(p):
+                if p is None:
+                    return None
+                n = max(1, (width * height) // 64)
+                seed = np.frombuffer(
+                    hashlib.md5(p).digest(), dtype=np.uint8
+                ).astype(np.uint64)
+                reps = int(np.ceil(n / len(seed)))
+                return np.tile(seed, reps)[:n].astype(np.uint8).tobytes()
+
+            is_img = pdf["kind"] == "image"
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "payload": [
+                        rz(p) if ok else None
+                        for p, ok in zip(pdf["payload"], is_img)
+                    ],
+                    "ok": is_img,
+                }
+            )
+            yield out
+
+    return media.mapInPandas(op, RESIZE_SCHEMA)
