@@ -33,10 +33,14 @@ Scale notes (local[32] here, 1000 executors in spirit):
     (resolve, robots) and one narrow applyInPandas (breaker, only over
     at-risk basename groups);
   - the wave rank avoids a single-partition window (operators/ordering.py);
-  - seen-set dedup is bloom-prefiltered so only maybe-seen candidates join
-    (operators/seen.py);
+  - seen-set dedup is prefiltered (bloom or deletable cuckoo arm,
+    config.seen_filter) so only maybe-seen candidates join
+    (operators/seen.py, operators/cuckoo.py);
   - every wave's state lands in the checkpoint store, so lineage is cut per
-    wave (no ever-growing plan) and a killed run resumes bit-identically.
+    wave (no ever-growing plan) and a killed run resumes bit-identically;
+  - between crawls, invalidate(urls) re-queues already-crawled URLs through
+    the deferred table for a recrawl generation (visited becomes a fetch
+    log; operators/recrawl.crawl_diff collapses it to current state).
 """
 
 from __future__ import annotations
