@@ -211,3 +211,44 @@ def test_final_skipped_view_is_hash_aggregate(spark, tmp_path):
     assert plan.count("Aggregate") >= 2, plan
     got = {r["url_key"]: r["wave"] for r in sk.collect()}
     assert got == {"k1": 0, "k2": 0}
+
+
+def test_classifier_score_broadcasts_weights(spark):
+    """quality_lr_score: the weight table (<= dim rows) must broadcast —
+    a shuffled join on the bucket key would move the whole feature set."""
+    from siteone_crawler_spark.operators.classifier import (
+        deterministic_weights,
+        quality_lr_score,
+    )
+
+    docs = spark.range(50).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("hello world tokens").alias("text"),
+    )
+    scored = quality_lr_score(docs, deterministic_weights(spark, 1 << 10), dim=1 << 10)
+    assert has_broadcast_join(scored)
+
+
+def test_repeated_windows_no_cartesian(spark):
+    """repeated_window_stats joins occurrences to hot hashes by key — no
+    cartesian/nested-loop anywhere (the corpus-squared failure mode)."""
+    from siteone_crawler_spark.operators.dedup import repeated_window_stats
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    plan = explain_str(repeated_window_stats(docs, window=3), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_assign_is_scan_side_projection(spark):
+    """split_assign must add zero exchanges: one projection over the scan."""
+    from siteone_crawler_spark.operators.sampling import split_assign
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = explain_str(split_assign(df, key="doc_id"), "simple")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
