@@ -828,6 +828,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_assign"] = q_split_assign
 
+    def q_quantize_embeddings(spark, sf_dir):
+        """SQ8 embedding quantization (operators/similarity.quantize_
+        embeddings): codes bit-exact vs the oracle (explicit half-up
+        floor), scale/max_err rounded 6 dp."""
+        from siteone_crawler_spark.operators.similarity import quantize_embeddings
+
+        _register(spark, sf_dir)
+        return quantize_embeddings(spark.table("embeddings"))
+
+    q["quantize_embeddings"] = q_quantize_embeddings
+
     def q_ngram_jaccard(spark, sf_dir):
         """n-gram Jaccard near-dup pipeline: LSH-banded candidates verified
         by exact 3-shingle-set Jaccard (operators/dedup.near_duplicates_minhash)."""
@@ -1501,6 +1512,7 @@ _PYTEST_ONLY = (
     "gopher_quality",
     "repeated_windows",
     "split_assign",
+    "quantize_embeddings",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -2005,6 +2017,21 @@ def _all_oracle_sql() -> dict[str, str]:
                          < '3333' THEN 'test'
                     ELSE 'train' END AS split
         FROM documents"""
+
+    o["quantize_embeddings"] = """
+        WITH q AS (
+          SELECT vec_id, embedding,
+                 greatest(list_max(list_transform(embedding, x -> abs(x))),
+                          1e-12) / 127.0 AS s
+          FROM embeddings
+        )
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(x / s + 0.5) AS INTEGER)) AS codes,
+               round(s, 6) AS scale,
+               round(list_max(list_transform(embedding,
+                     x -> abs(floor(x / s + 0.5) * s - x))), 6) AS max_err
+        FROM q"""
 
     o["sitemap_order"] = (
         _URLS_CTE

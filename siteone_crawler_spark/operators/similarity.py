@@ -353,3 +353,35 @@ def ann_topk_indexed(
         F.round(cosine_similarity(cast_vec, q), 6).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the standard SQ8 compression in
+    public ANN systems — Faiss/ScaNN-style): scale = max(|v|)/127 (floored
+    at 1e-12 for zero vectors), code_i = floor(v_i/scale + 0.5). The
+    explicit floor(+0.5) half-up is engine-portable (round()'s tie rule
+    varies by dialect), so the DuckDB oracle reproduces codes bit-exactly.
+
+    Output: (id, codes array<int> in [-127, 127], scale, max_err) — max_err
+    is the reconstruction bound check max|code*scale - v| <= scale/2. At
+    10^9 vectors this cuts the stored ANN index ~4x and dot products run on
+    int8 lanes; everything here is a per-row native projection (no shuffle,
+    no Python)."""
+    a = F.col(vec_col)
+    with_s = emb.withColumn(
+        "__s",
+        F.greatest(F.array_max(F.transform(a, lambda x: F.abs(x))), F.lit(1e-12))
+        / 127.0,
+    )
+    codes = F.transform(a, lambda x: F.floor(x / F.col("__s") + 0.5).cast("int"))
+    max_err = F.array_max(
+        F.transform(a, lambda x: F.abs(F.floor(x / F.col("__s") + 0.5) * F.col("__s") - x))
+    )
+    return with_s.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.round(F.col("__s"), 6).alias("scale"),
+        F.round(max_err, 6).alias("max_err"),
+    )

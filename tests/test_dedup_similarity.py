@@ -455,3 +455,26 @@ def test_repeated_window_stats(spark):
     assert got[4][1] >= 2  # both occurrences of the repeated window count
     # window accounting: n_tokens - window + 1 = 11 - 5 + 1
     assert got[1][0] == 7
+
+
+def test_quantize_embeddings_bounds(spark):
+    from siteone_crawler_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -0.25, 0.125, 0.0]),
+        (2, [1.0, 1.0, -1.0, 0.5]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale floor, codes 0
+        (4, [-0.003, 0.009, 0.0001, -0.0077]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert len(got) == 4
+    for vid, (_, vec) in zip(sorted(got), sorted(rows)):
+        r = got[vid]
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        # reconstruction bound: |code*scale - v| <= scale/2 (+ rounding slack)
+        assert r["max_err"] <= r["scale"] / 2 + 1e-6, (vid, r)
+    assert got[3]["codes"] == [0, 0, 0, 0]
+    # the max-magnitude component always quantizes to +-127
+    assert max(abs(c) for c in got[1]["codes"]) == 127
+    assert max(abs(c) for c in got[2]["codes"]) == 127
