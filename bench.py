@@ -537,9 +537,13 @@ def main() -> None:
             full_runs = []
 
     # spend leftover budget on 1-run tiebreaker children until the headline
-    # settles within 30% (it is the reported `value`; the crawl row is
-    # cheaper to lose)
-    while (full_runs and not _side_settled(full_runs, tol=0.3)
+    # settles within 20% (it is the reported `value`; the crawl row is
+    # cheaper to lose). 20%, not the pair's 15%: headline draws are the most
+    # bimodal of all (92s and 182s in one run) and each costs ~200s — but a
+    # pair of AGREEING slow-mode draws is still accepted (recorded 128/132s
+    # vs a 71s fast mode), so the tolerance is a draw-count economizer, not
+    # a guarantee.
+    while (full_runs and not _side_settled(full_runs, tol=0.2)
            and len(full_runs) < 5 and _left() > 500):
         try:
             full_runs += _spawn("wave", full_cores, WAVE_FRONTIER, n_runs=1,
@@ -593,7 +597,68 @@ def main() -> None:
     }
     print(json.dumps(result))
     sys.stdout.flush()
-    _write_baseline_md(lo, hi, efficiency, crawl, wave_full)
+    if os.environ.get("BENCH_RECORD", "1") == "1":
+        # BENCH_RECORD=0: smoke/debug runs (tiny frontiers, short budgets)
+        # must not overwrite the committed record or append junk history
+        _append_history(lo, hi, efficiency, wave_full, crawl)
+        _write_baseline_md(lo, hi, efficiency, crawl, wave_full)
+
+
+HISTORY_PATH = os.path.join(REPO, "BENCH", "HISTORY.jsonl")
+
+
+def _append_history(
+    lo: dict | None, hi: dict | None, eff: float | None,
+    wave_full: dict | None, crawl: dict | None,
+) -> None:
+    """One JSONL row per completed bench run — the cross-run reproducibility
+    record for the graded scaling pair. A single best-of ratio on a host
+    with ±40% single-draw noise is only convincing alongside its siblings;
+    this file survives BASELINE.md's per-run overwrite."""
+    if lo is None or hi is None:
+        return
+    row = {
+        "t": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "eff": eff,
+        "lo": {"cores": lo["cores"], "best_sec": lo["sec"],
+               "runs_sec": lo["all_runs_sec"]},
+        "hi": {"cores": hi["cores"], "best_sec": hi["sec"],
+               "runs_sec": hi["all_runs_sec"]},
+        "frontier": lo["frontier"],
+        "headline_ups": wave_full["urls_per_sec"] if wave_full else None,
+        "crawl_ups": crawl["urls_per_sec"] if crawl else None,
+        "elapsed_s": round(time.time() - T_START, 1),
+    }
+    os.makedirs(os.path.dirname(HISTORY_PATH), exist_ok=True)
+    with open(HISTORY_PATH, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def _history_table(n: int = 6) -> str:
+    """Render the last n recorded scaling pairs (BENCH/HISTORY.jsonl)."""
+    try:
+        with open(HISTORY_PATH) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        return ""
+    rows = rows[-n:]
+    if not rows:
+        return ""
+    body = "\n".join(
+        f"| {r['t']} | {r['eff']} | {r['lo']['best_sec']}s ({len(r['lo']['runs_sec'])}) "
+        f"| {r['hi']['best_sec']}s ({len(r['hi']['runs_sec'])}) "
+        f"| {r.get('note', '')} |"
+        for r in rows
+    )
+    return (
+        "Reproducibility — every recorded run of this protocol (same 2M\n"
+        "frontier, same engine unless noted; full per-run draw times in\n"
+        "BENCH/HISTORY.jsonl):\n\n"
+        "| recorded (UTC) | efficiency | lo best (draws) | hi best (draws) "
+        "| note |\n|---|---|---|---|---|\n"
+        + body
+        + "\n\n"
+    )
 
 
 def _phase_table(lo: dict, hi: dict) -> str:
@@ -661,6 +726,7 @@ def _write_baseline_md(
             + full_row +
             f"\n**Scaling efficiency (throughput ratio / core ratio): {eff}** "
             "(target >= 0.8 per BASELINE.json)\n\n"
+            + _history_table()
             + _phase_table(lo, hi) +
             "Methodology: measurements run in fresh subprocesses (JVM\n"
             "isolation), plain `local[N]` vs `local[4N]` — the protocol the\n"
