@@ -505,6 +505,46 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_ratio"] = q_repetition_ratio
 
+    def q_chunk_documents(spark, sf_dir):
+        """Fixed-token sliding-window chunking (embedding/RAG prep):
+        operators/chunking.chunk_documents — per-row native explode, no
+        shuffle, no UDF."""
+        from siteone_crawler_spark.operators.chunking import chunk_documents
+
+        _register(spark, sf_dir)
+        return chunk_documents(
+            spark.table("documents"), chunk_tokens=32, stride=24
+        )
+
+    q["chunk_documents"] = q_chunk_documents
+
+    def q_semdedup(spark, sf_dir):
+        """SemDeDup cluster-then-prune semantic dedup
+        (operators/similarity.semdedup): IVF assignment (codegen literals),
+        within-cluster cosine prune, keep = lowest id per dup relation."""
+        from siteone_crawler_spark.operators.similarity import semdedup
+
+        _register(spark, sf_dir)
+        return semdedup(spark.table("embeddings"), threshold=0.5, n_centroids=8)
+
+    q["semdedup"] = q_semdedup
+
+    def q_dsir_weights(spark, sf_dir):
+        """DSIR hashed-ngram importance weights vs an English-target corpus
+        (operators/dsir.dsir_weights): two bucket aggregates + one broadcast
+        log-ratio join + one per-doc sum."""
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.dsir import dsir_weights
+
+        _register(spark, sf_dir)
+        docs = spark.table("documents")
+        return dsir_weights(
+            docs, docs.filter(F.col("lang") == "en"), n_buckets=256, alpha=1.0
+        )
+
+    q["dsir_weights"] = q_dsir_weights
+
     def _pii_augmented(spark, sf_dir):
         # the synthetic corpus has no digits, so both sides plant the SAME
         # deterministic PII from doc_id — the oracle check then certifies
@@ -1513,6 +1553,9 @@ _PYTEST_ONLY = (
     "repeated_windows",
     "split_assign",
     "quantize_embeddings",
+    "chunk_documents",
+    "semdedup",
+    "dsir_weights",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1696,6 +1739,81 @@ def _all_oracle_sql() -> dict[str, str]:
                    / len({_sh3})
             ELSE 0.0 END AS dup3_frac
         FROM documents"""
+
+    # chunk_tokens=32, stride=24 (operators/chunking.py): DuckDB list
+    # slicing is 1-based inclusive and clamps, so toks[st+1 : st+32] is
+    # exactly the slice(toks, st+1, 32) window
+    o["chunk_documents"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                unnest(generate_series(0, len(toks) - 1, 24)) AS st
+              FROM t WHERE len(toks) > 0)
+        SELECT doc_id, CAST(st // 24 AS int) AS chunk_idx,
+          array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text,
+          CAST(least(32, len(toks) - st) AS int) AS n_tokens
+        FROM s"""
+
+    # SemDeDup (operators/similarity.semdedup, threshold=0.5, 8 pivot
+    # centroids): same cents/assign/best CTEs as knn_ivf_topk (ties ->
+    # larger centroid id = ivf_assign's array_max rule; the 8 smallest
+    # vec_ids are 0..7 so centroid vec_id == bucket index), then the keep
+    # rule keep(d) iff no e<d in d's cluster with round(cos,6) >= 0.5
+    o["semdedup"] = """
+        WITH cents AS (
+          SELECT vec_id AS cid, cast(embedding AS double[]) AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        assign AS (
+          SELECT e.vec_id, c.cid,
+            round(list_cosine_similarity(cast(e.embedding AS double[]), c.cv), 9) AS ccos
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        best AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS rn
+            FROM assign) t WHERE rn = 1
+        ),
+        dups AS (
+          SELECT DISTINCT b2.vec_id AS dup
+          FROM best b1 JOIN best b2 ON b1.cid = b2.cid AND b1.vec_id < b2.vec_id
+          JOIN embeddings e1 ON e1.vec_id = b1.vec_id
+          JOIN embeddings e2 ON e2.vec_id = b2.vec_id
+          WHERE round(list_cosine_similarity(cast(e1.embedding AS double[]),
+                                             cast(e2.embedding AS double[])), 6) >= 0.5
+        )
+        SELECT b.vec_id, CAST(b.cid AS int) AS cluster, (d.dup IS NULL) AS keep
+        FROM best b LEFT JOIN dups d ON b.vec_id = d.dup"""
+
+    # DSIR importance weights (operators/dsir.py, n_buckets=256, alpha=1,
+    # unigrams+bigrams, target = lang='en'): md5-low-32 bucket hashing is
+    # the same engine-portable idiom as simhash's md5-low-64
+    o["dsir_weights"] = f"""
+        WITH toks AS (SELECT doc_id, lang, {_TOKS_DUCK} AS tk FROM documents),
+        uni AS (SELECT doc_id, lang, unnest(tk) AS g FROM toks),
+        bigi AS (SELECT doc_id, lang, tk,
+                   unnest(generate_series(1, len(tk) - 1)) AS i
+                 FROM toks WHERE len(tk) >= 2),
+        big AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g FROM bigi),
+        grams AS (SELECT doc_id, lang, g FROM uni
+                  UNION ALL SELECT doc_id, lang, g FROM big),
+        gb AS (SELECT doc_id, lang,
+                 ('0x' || substring(md5(g), 1, 8))::UBIGINT % 256 AS b
+               FROM grams),
+        rc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+        tc AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+        nr AS (SELECT count(*) AS n FROM gb),
+        nt AS (SELECT count(*) AS n FROM gb WHERE lang = 'en'),
+        ratio AS (
+          SELECT rc.b,
+            ln((coalesce(tc.ct, 0) + 1.0) / (nt.n + 256.0))
+              - ln((rc.cr + 1.0) / (nr.n + 256.0)) AS lr
+          FROM rc LEFT JOIN tc USING (b), nt, nr
+        ),
+        w AS (SELECT gb.doc_id, sum(r.lr) AS w
+              FROM gb JOIN ratio r USING (b) GROUP BY gb.doc_id)
+        SELECT d.doc_id, round(coalesce(w.w, 0.0), 6) AS dsir_weight
+        FROM documents d LEFT JOIN w USING (doc_id)"""
 
     # PII scan/redact: same deterministic augmentation as the Spark side
     # (operators/pii.py patterns interpolated verbatim — one source of

@@ -1,0 +1,118 @@
+"""DSIR — Data Selection with Importance Resampling (hashed n-gram features).
+
+Public method (Xie et al., "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023, arXiv:2302.03169): score every raw
+document by how target-like its hashed n-gram distribution is,
+
+    weight(d) = sum over gram instances g in d of
+                log p_target(bucket(g)) - log p_raw(bucket(g)),
+
+with Laplace-smoothed bucket probabilities p(b) = (count(b) + alpha) /
+(total + alpha * n_buckets). High-weight docs are then kept (top-k or
+Gumbel resampling — both compose with operators/sampling.py).
+
+Scale shape: the two bucket-count aggregates are map-side-combinable
+groupBys over <= n_buckets keys; the log-ratio table is n_buckets rows and
+is BROADCAST into the per-doc join, so the only real shuffle is the final
+sum-per-doc — exactly one pass over the raw corpus however big it is.
+Grams and buckets are pure native expressions (md5 low-32 hashing — the
+same engine-portable idiom as the dedup family), so the DuckDB oracle
+reproduces every bucket id bit-exactly.
+
+The reference crawler has no data-selection surface; this is part of the
+training-data superset the north rule asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_tokens
+
+
+def word_grams(col, max_n: int = 2) -> Column:
+    """Array of word unigrams + space-joined higher grams up to max_n, in
+    token order (unigrams first, then bigrams, ...)."""
+    toks = norm_tokens(col)
+
+    def window_at(n):
+        # factory closure: transform() treats a TWO-param lambda as
+        # (element, index) — a `lambda i, n=n:` default would silently
+        # receive the element index as n
+        return lambda i: F.array_join(F.slice(toks, i, n), " ")
+
+    parts = [toks]
+    for n in range(2, max_n + 1):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        parts.append(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(idx, window_at(n)),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def gram_bucket(gram: Column, n_buckets: int) -> Column:
+    """md5-low-32 hash of the gram string, mod n_buckets (nonnegative)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    max_n: int = 2,
+) -> DataFrame:
+    """(id_col, dsir_weight) for every raw doc; weight rounded to 6 dp (the
+    per-doc sum's accumulation order differs between engines). Docs with no
+    grams weigh 0.0. `target` is any DataFrame with the same text column —
+    typically a small curated corpus (sampled: the estimator only needs
+    bucket frequencies, so a hash_sample of the target suffices)."""
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_grams(F.col(text_col), max_n)).alias("__g"),
+        ).select("__id", gram_bucket(F.col("__g"), n_buckets).alias("b"))
+
+    raw_g = grams_of(raw)
+    tgt_g = grams_of(target)
+    raw_counts = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # two scalar totals: <= n_buckets partial rows each, driver-safe
+    n_raw = raw_g.count()
+    n_tgt = tgt_g.count()
+    lb = float(alpha) * n_buckets
+    ratio = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha) / (n_tgt + lb))
+                - F.log((F.col("cr") + alpha) / (n_raw + lb))
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        raw_g.join(F.broadcast(ratio), "b")
+        .groupBy("__id")
+        .agg(F.sum("lr").alias("__w"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(F.coalesce(F.col("__w"), F.lit(0.0)), 6).alias("dsir_weight"),
+        )
+    )

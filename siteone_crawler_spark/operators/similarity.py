@@ -385,3 +385,65 @@ def quantize_embeddings(
         F.round(F.col("__s"), 6).alias("scale"),
         F.round(max_err, 6).alias("max_err"),
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
+    dedup by clustering embeddings, then pruning within each cluster any
+    point whose cosine similarity to a LOWER-id cluster member reaches the
+    threshold. The keep rule — keep(d) iff no e<d in d's cluster with
+    cos(d,e) >= threshold — is the paper's "keep one representative per
+    semantic duplicate group" made deterministic (lowest id wins), which is
+    what an oracle can re-derive.
+
+    Scale shape: cluster assignment is `ivf_assign` (broadcast literal
+    centroids, pure codegen — no shuffle, no UDF); the pair comparison is a
+    bucket-colocated equi-join on the cluster id, quadratic ONLY within a
+    cluster, so `max_cluster` drops over-full clusters from pairing (their
+    members all keep=true) exactly like the sibling LSH guards
+    (embedding_near_dup_pairs, simhash). At 10^9 rows run kmeans_refine on
+    a sample first and raise n_centroids ~ n/10^5 so clusters stay joinable.
+
+    Returns every input row as (id_col, cluster, keep)."""
+    cents = pivot_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col("ivf_bucket").alias("cluster"),
+    )
+    pairable = assigned
+    if max_cluster is not None:
+        ok = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_cluster)
+            .select("cluster")
+        )
+        # <= n_centroids rows: always broadcastable
+        pairable = assigned.join(F.broadcast(ok), "cluster")
+    a = pairable.select(F.col("__id").alias("ia"), F.col("__v").alias("va"), "cluster")
+    b = pairable.select(F.col("__id").alias("ib"), F.col("__v").alias("vb"), "cluster")
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(cosine_similarity(va, vb), 6) >= threshold)
+        .select(F.col("ib").alias("__dup"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned["__id"] == dups["__dup"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.col("__dup").isNull().alias("keep"),
+        )
+    )
