@@ -545,6 +545,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = q_dsir_weights
 
+    def q_bpe_pair_stats(spark, sf_dir):
+        """BPE merge-pair candidate table (operators/bpe.bpe_pair_stats):
+        corpus pass -> word-count hash aggregate, then vocabulary-sized
+        pair explode + weighted count — no UDF, no join."""
+        from siteone_crawler_spark.operators.bpe import bpe_pair_stats
+
+        _register(spark, sf_dir)
+        return bpe_pair_stats(spark.table("documents"), min_count=2)
+
+    q["bpe_pair_stats"] = q_bpe_pair_stats
+
     def _pii_augmented(spark, sf_dir):
         # the synthetic corpus has no digits, so both sides plant the SAME
         # deterministic PII from doc_id — the oracle check then certifies
@@ -1556,6 +1567,7 @@ _PYTEST_ONLY = (
     "chunk_documents",
     "semdedup",
     "dsir_weights",
+    "bpe_pair_stats",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1814,6 +1826,19 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM gb JOIN ratio r USING (b) GROUP BY gb.doc_id)
         SELECT d.doc_id, round(coalesce(w.w, 0.0), 6) AS dsir_weight
         FROM documents d LEFT JOIN w USING (doc_id)"""
+
+    # BPE merge-pair stats (operators/bpe.py, min_count=2): adjacent char
+    # pairs of each vocabulary word (overlapping occurrences kept) weighted
+    # by corpus word frequency — iteration-1 candidates of Sennrich 2016
+    o["bpe_pair_stats"] = f"""
+        WITH t AS (SELECT unnest({_TOKS_DUCK}) AS w FROM documents),
+        wc AS (SELECT w, count(*) AS wc FROM t GROUP BY w),
+        p AS (SELECT substring(w, i, 1) AS lhs, substring(w, i + 1, 1) AS rhs,
+                wc
+              FROM wc, unnest(generate_series(1, length(w) - 1)) AS u(i)
+              WHERE length(w) >= 2)
+        SELECT lhs, rhs, CAST(sum(wc) AS bigint) AS pair_count
+        FROM p GROUP BY lhs, rhs HAVING sum(wc) >= 2"""
 
     # PII scan/redact: same deterministic augmentation as the Spark side
     # (operators/pii.py patterns interpolated verbatim — one source of
