@@ -556,6 +556,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_pair_stats"] = q_bpe_pair_stats
 
+    def q_lm_xent(spark, sf_dir):
+        """CCNet-style LM quality filter (operators/lm.lm_cross_entropy):
+        smoothed unigram cross-entropy vs an English reference corpus —
+        vocabulary-sized broadcast logprob join + one per-doc aggregate."""
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.lm import lm_cross_entropy
+
+        _register(spark, sf_dir)
+        docs = spark.table("documents")
+        return lm_cross_entropy(docs, docs.filter(F.col("lang") == "en"))
+
+    q["lm_xent"] = q_lm_xent
+
     def _pii_augmented(spark, sf_dir):
         # the synthetic corpus has no digits, so both sides plant the SAME
         # deterministic PII from doc_id — the oracle check then certifies
@@ -1568,6 +1582,7 @@ _PYTEST_ONLY = (
     "semdedup",
     "dsir_weights",
     "bpe_pair_stats",
+    "lm_xent",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1839,6 +1854,26 @@ def _all_oracle_sql() -> dict[str, str]:
               WHERE length(w) >= 2)
         SELECT lhs, rhs, CAST(sum(wc) AS bigint) AS pair_count
         FROM p GROUP BY lhs, rhs HAVING sum(wc) >= 2"""
+
+    # CCNet-style unigram LM cross-entropy (operators/lm.py, alpha=1,
+    # ref = lang='en'): p(tok) = (c+1)/(N + V + 1), UNK shares the +1 slot;
+    # xent = -avg(logp), rounded 6 (accumulation order differs per engine)
+    o["lm_xent"] = f"""
+        WITH dt AS (SELECT doc_id, lang, unnest({_TOKS_DUCK}) AS tok
+                    FROM documents),
+        c AS (SELECT tok, count(*) AS c FROM dt WHERE lang = 'en'
+              GROUP BY tok),
+        tot AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+        lp AS (SELECT tok, ln((c + 1.0) / (tot.n + tot.v + 1.0)) AS logp
+               FROM c, tot),
+        unk AS (SELECT ln(1.0 / (n + v + 1.0)) AS u FROM tot),
+        j AS (SELECT dt.doc_id, coalesce(lp.logp, unk.u) AS l
+              FROM dt LEFT JOIN lp USING (tok), unk),
+        a AS (SELECT doc_id, count(*) AS nt, round(-avg(l), 6) AS xent
+              FROM j GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(a.nt, 0) AS int) AS n_tokens,
+          coalesce(a.xent, 0.0) AS xent
+        FROM documents d LEFT JOIN a USING (doc_id)"""
 
     # PII scan/redact: same deterministic augmentation as the Spark side
     # (operators/pii.py patterns interpolated verbatim — one source of
