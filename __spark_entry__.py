@@ -570,6 +570,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_xent"] = q_lm_xent
 
+    def q_tfidf_topk(spark, sf_dir):
+        """Top-5 tf-idf terms per doc (operators/tfidf.tfidf_topk): one
+        corpus (doc,term) aggregate, broadcast idf join, WindowGroupLimit
+        per-doc top-k; rank on the rounded score for engine-portable order."""
+        from siteone_crawler_spark.operators.tfidf import tfidf_topk
+
+        _register(spark, sf_dir)
+        return tfidf_topk(spark.table("documents"), k=5)
+
+    q["tfidf_topk"] = q_tfidf_topk
+
     def _pii_augmented(spark, sf_dir):
         # the synthetic corpus has no digits, so both sides plant the SAME
         # deterministic PII from doc_id — the oracle check then certifies
@@ -1583,6 +1594,7 @@ _PYTEST_ONLY = (
     "dsir_weights",
     "bpe_pair_stats",
     "lm_xent",
+    "tfidf_topk",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1874,6 +1886,27 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, CAST(coalesce(a.nt, 0) AS int) AS n_tokens,
           coalesce(a.xent, 0.0) AS xent
         FROM documents d LEFT JOIN a USING (doc_id)"""
+
+    # tf-idf top-5 terms per doc (operators/tfidf.py): smoothed idf
+    # ln((N+1)/(df+1))+1; rank on the ROUNDED score (term asc tiebreak) so
+    # the order survives libm ulp differences between engines
+    o["tfidf_topk"] = f"""
+        WITH dt AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
+                    FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM dt
+               GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.term,
+                round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                  AS score
+              FROM tf JOIN df USING (term), n),
+        r AS (SELECT doc_id, term, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+              FROM s)
+        SELECT doc_id, term, score, CAST(rn AS int) AS rank
+        FROM r WHERE rn <= 5"""
 
     # PII scan/redact: same deterministic augmentation as the Spark side
     # (operators/pii.py patterns interpolated verbatim — one source of
