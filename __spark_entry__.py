@@ -581,6 +581,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_topk"] = q_tfidf_topk
 
+    def q_corpus_datacard(spark, sf_dir):
+        """Per-source data card (operators/datacard.corpus_datacard):
+        one corpus scan, global fingerprint dup aggregate broadcast back,
+        one per-source fold + WindowGroupLimit language mode."""
+        from siteone_crawler_spark.operators.datacard import corpus_datacard
+
+        _register(spark, sf_dir)
+        return corpus_datacard(spark.table("documents"))
+
+    q["corpus_datacard"] = q_corpus_datacard
+
     def _pii_augmented(spark, sf_dir):
         # the synthetic corpus has no digits, so both sides plant the SAME
         # deterministic PII from doc_id — the oracle check then certifies
@@ -1595,6 +1606,7 @@ _PYTEST_ONLY = (
     "bpe_pair_stats",
     "lm_xent",
     "tfidf_topk",
+    "corpus_datacard",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1907,6 +1919,30 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM s)
         SELECT doc_id, term, score, CAST(rn AS int) AS rank
         FROM r WHERE rn <= 5"""
+
+    # per-source corpus data card (operators/datacard.py): global md5
+    # fingerprint dup flag, per-source fold, language mode with
+    # (count desc, lang asc) tie-break
+    o["corpus_datacard"] = f"""
+        WITH base AS (SELECT source, lang, len({_TOKS_DUCK}) AS nt,
+                        md5(text) AS fp
+                      FROM documents),
+        dup AS (SELECT fp FROM base GROUP BY fp HAVING count(*) > 1),
+        st AS (SELECT b.source, CAST(count(*) AS int) AS n_docs,
+                 CAST(sum(b.nt) AS bigint) AS total_tokens,
+                 CAST(sum(CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END) AS int)
+                   AS n_dup_docs
+               FROM base b LEFT JOIN dup d USING (fp) GROUP BY b.source),
+        lc AS (SELECT source, lang, count(*) AS c FROM base
+               GROUP BY source, lang),
+        tl AS (SELECT source, lang AS top_lang FROM (
+                 SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang) AS rn
+                 FROM lc) t WHERE rn = 1)
+        SELECT st.source, st.n_docs, st.total_tokens, st.n_dup_docs,
+          tl.top_lang
+        FROM st JOIN tl USING (source)"""
 
     # PII scan/redact: same deterministic augmentation as the Spark side
     # (operators/pii.py patterns interpolated verbatim — one source of
