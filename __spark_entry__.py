@@ -592,6 +592,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_datacard"] = q_corpus_datacard
 
+    def q_asof_purchase_click(spark, sf_dir):
+        """As-of join (operators/asof.asof_join): each purchase gets the
+        most recent prior-or-equal click by the same user — union-window
+        rewrite, ONE shuffle (the window exchange), no join node."""
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.asof import asof_join
+
+        _register(spark, sf_dir)
+        ev = spark.table("events")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        return asof_join(left, right)
+
+    q["asof_purchase_click"] = q_asof_purchase_click
+
     def _pii_augmented(spark, sf_dir):
         # the synthetic corpus has no digits, so both sides plant the SAME
         # deterministic PII from doc_id — the oracle check then certifies
@@ -1607,6 +1627,7 @@ _PYTEST_ONLY = (
     "lm_xent",
     "tfidf_topk",
     "corpus_datacard",
+    "asof_purchase_click",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1943,6 +1964,35 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT st.source, st.n_docs, st.total_tokens, st.n_dup_docs,
           tl.top_lang
         FROM st JOIN tl USING (source)"""
+
+    # as-of join (operators/asof.py): purchases matched to the most recent
+    # prior-or-equal click per user; the SAME union-window rewrite the
+    # engine runs (not DuckDB's ASOF JOIN — its equal-ts tie rule among
+    # right rows is unspecified, ours is max event_id)
+    o["asof_purchase_click"] = """
+        WITH l AS (SELECT event_id, ts, user_id, value FROM events
+                   WHERE event_type = 'purchase'),
+        r AS (SELECT event_id, ts, user_id, value FROM events
+              WHERE event_type = 'click'),
+        u AS (
+          SELECT user_id, ts, 1 AS side, event_id AS seq, event_id, value,
+            NULL::BIGINT AS r_id, NULL::DOUBLE AS r_value
+          FROM l
+          UNION ALL
+          SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, value
+          FROM r
+        ),
+        w AS (
+          SELECT *,
+            last_value(r_id IGNORE NULLS) OVER win AS m_id,
+            last_value(r_value IGNORE NULLS) OVER win AS m_value
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, ts, user_id, value,
+          m_id AS matched_event_id, m_value AS matched_value
+        FROM w WHERE side = 1"""
 
     # PII scan/redact: same deterministic augmentation as the Spark side
     # (operators/pii.py patterns interpolated verbatim — one source of
