@@ -612,6 +612,30 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_purchase_click"] = q_asof_purchase_click
 
+    def q_range_join_error_window(spark, sf_dir):
+        """Bucketized range join (operators/rangejoin.range_join):
+        purchases inside the 1-hour window after any error by the same
+        user — interval explode + (key,bucket) equi-join + exact re-check,
+        never a nested-loop join."""
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.rangejoin import range_join
+
+        _register(spark, sf_dir)
+        ev = spark.table("events")
+        points = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        intervals = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        )
+        return range_join(points, intervals)
+
+    q["range_join_error_window"] = q_range_join_error_window
+
     def _pii_augmented(spark, sf_dir):
         # the synthetic corpus has no digits, so both sides plant the SAME
         # deterministic PII from doc_id — the oracle check then certifies
@@ -1628,6 +1652,7 @@ _PYTEST_ONLY = (
     "tfidf_topk",
     "corpus_datacard",
     "asof_purchase_click",
+    "range_join_error_window",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -1993,6 +2018,18 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_id, ts, user_id, value,
           m_id AS matched_event_id, m_value AS matched_value
         FROM w WHERE side = 1"""
+
+    # bucketized range join (operators/rangejoin.py): purchases in the
+    # [error_ts, error_ts + 1h) window of the same user; the oracle is the
+    # plain inequality join the bucketization must exactly reproduce
+    o["range_join_error_window"] = """
+        SELECT p.event_id, p.ts, p.user_id, p.value,
+          e.event_id AS error_id, e.ts AS start,
+          e.ts + INTERVAL 1 HOUR AS "end"
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         AND e.ts <= p.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND e.event_type = 'error'"""
 
     # PII scan/redact: same deterministic augmentation as the Spark side
     # (operators/pii.py patterns interpolated verbatim — one source of
