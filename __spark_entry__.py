@@ -636,6 +636,42 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["range_join_error_window"] = q_range_join_error_window
 
+    def q_mean_pool(spark, sf_dir):
+        """Element-wise mean pooling of embeddings per group
+        (operators/pooling.mean_pool): posexplode -> per-(group,dim) avg
+        (map-side combine, constant per-key state) -> dim-bounded refold;
+        never collect_list of whole vectors."""
+        from pyspark.sql import functions as F
+
+        _register(spark, sf_dir)
+        from siteone_crawler_spark.operators.pooling import mean_pool
+
+        emb = spark.table("embeddings").select(
+            (F.col("vec_id") % 50).alias("group_id"), "embedding"
+        )
+        return mean_pool(emb, group_col="group_id")
+
+    q["mean_pool"] = q_mean_pool
+
+    def q_gumbel_topk(spark, sf_dir):
+        """Gumbel-top-k weighted sample without replacement
+        (operators/sampling.gumbel_topk_sample): content-addressed Gumbel
+        noise + global TakeOrderedAndProject top-k — weight here is
+        ln(n_chars+1); with dsir_weight it is the DSIR resample step."""
+        from pyspark.sql import functions as F
+
+        from siteone_crawler_spark.operators.sampling import gumbel_topk_sample
+
+        _register(spark, sf_dir)
+        docs = spark.table("documents").select(
+            "doc_id", F.log(F.col("n_chars") + 1.0).alias("w")
+        )
+        return gumbel_topk_sample(docs, key="doc_id", weight_col="w", k=50).select(
+            "doc_id", "gumbel_score"
+        )
+
+    q["gumbel_topk"] = q_gumbel_topk
+
     def _pii_augmented(spark, sf_dir):
         # the synthetic corpus has no digits, so both sides plant the SAME
         # deterministic PII from doc_id — the oracle check then certifies
@@ -1653,6 +1689,8 @@ _PYTEST_ONLY = (
     "corpus_datacard",
     "asof_purchase_click",
     "range_join_error_window",
+    "mean_pool",
+    "gumbel_topk",
 )
 
 _NOT_DRIVER_CHECKED = _DIALECT_TWINS + _PYTEST_ONLY
@@ -2030,6 +2068,32 @@ def _all_oracle_sql() -> dict[str, str]:
           ON p.user_id = e.user_id
          AND e.ts <= p.ts AND p.ts < e.ts + INTERVAL 1 HOUR
         WHERE p.event_type = 'purchase' AND e.event_type = 'error'"""
+
+    # mean pooling (operators/pooling.py): per-dimension avg per group
+    # (vec_id % 50), list rebuilt in dimension order, avg rounded 6
+    o["mean_pool"] = """
+        WITH v AS (SELECT vec_id % 50 AS group_id, embedding
+                   FROM embeddings
+                   WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        e AS (SELECT group_id, i, embedding[i] AS x
+              FROM v, unnest(generate_series(1, len(embedding))) AS t(i)),
+        m AS (SELECT group_id, i, round(avg(x), 6) AS m, count(*) AS n
+              FROM e GROUP BY group_id, i)
+        SELECT group_id, list(m ORDER BY i) AS pooled,
+          CAST(max(n) AS int) AS n_vectors
+        FROM m GROUP BY group_id"""
+
+    # Gumbel-top-k sample (operators/sampling.gumbel_topk_sample, k=50,
+    # weight = ln(n_chars+1)): u = (md5_32(key)+0.5)/2^32, noise
+    # -ln(-ln(u)); selection on the raw score, output rounded 6
+    o["gumbel_topk"] = """
+        WITH s AS (SELECT doc_id,
+            ln(n_chars + 1.0)
+              - ln(-ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                        + 0.5) / 4294967296.0)) AS sc
+          FROM documents)
+        SELECT doc_id, round(sc, 6) AS gumbel_score
+        FROM s ORDER BY sc DESC, doc_id LIMIT 50"""
 
     # PII scan/redact: same deterministic augmentation as the Spark side
     # (operators/pii.py patterns interpolated verbatim — one source of
