@@ -275,6 +275,9 @@ def run_queries(spark) -> tuple[dict, dict]:
         "pii_scan", "pii_redact", "decontamination", "line_boilerplate",
         "temperature_sample", "pack_sequences",
         "dedup_clusters", "pagerank", "classifier_score", "gopher_quality",
+        # r5 training/analytics additions (the heaviest of the new family;
+        # chunk_documents and the joins are cheap projections of these)
+        "semdedup", "dsir_weights", "tfidf_topk", "lm_xent",
     ]
     qs = {**E.queries(), **E.extra_queries()}
 

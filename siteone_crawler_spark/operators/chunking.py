@@ -36,22 +36,30 @@ def chunk_documents(
     """
     if stride < 1 or chunk_tokens < 1:
         raise ValueError("chunk_tokens and stride must be >= 1")
-    toks = norm_tokens(F.col(text_col))
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-    n = F.size(F.col("__toks"))
-    starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
-    ).otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / stride).cast("int").alias("chunk_idx"),
-            F.array_join(F.slice(F.col("__toks"), s + 1, chunk_tokens), " ").alias(
-                "chunk_text"
+
+    # let-bind the token array via a single-element transform: CollapseProject
+    # re-inlines a materialized __toks projection into every lambda
+    # reference, re-tokenizing once per window (see operators/dsir.word_grams
+    # for the measured 6.7x cost); a lambda variable is evaluated once
+    def build(tk):
+        n = F.size(tk)
+        starts = F.when(
+            n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_idx"),
+                F.array_join(F.slice(tk, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+                F.least(F.lit(chunk_tokens), n - s).cast("int").alias("n_tokens"),
             ),
-            F.least(F.lit(chunk_tokens), n - s).cast("int").alias("n_tokens"),
-        ),
+        )
+
+    chunks = F.flatten(
+        F.transform(F.array(norm_tokens(F.col(text_col))), build)
     )
-    return base.select("doc_id", F.explode(chunks).alias("c")).select(
-        "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
-    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
