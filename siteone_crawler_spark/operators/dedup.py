@@ -356,15 +356,24 @@ def cdc_chunks(
         F.filter(positions, lambda i: (i > 1) & is_boundary(i)),
         F.array(F.length(t) + 1),
     )
-    idx = F.sequence(F.lit(1), F.size(bounds) - 1)
-    chunks = F.transform(
-        idx,
-        lambda k: F.substring(
-            t,
-            F.element_at(bounds, k),
-            F.element_at(bounds, k + 1) - F.element_at(bounds, k),
-        ),
-    )
+
+    # let-bind bounds via a single-element transform: each element_at(bounds,
+    # k) inside the chunk lambda would otherwise re-run the ENTIRE boundary
+    # scan (one md5 per text position) — three times per chunk (Catalyst
+    # skips subexpression elimination in higher-order-function lambdas; same
+    # measured 6.7x-class cost as functions/text.word_shingles)
+    def cut(b):
+        idx = F.sequence(F.lit(1), F.size(b) - 1)
+        return F.transform(
+            idx,
+            lambda k: F.substring(
+                t,
+                F.element_at(b, k),
+                F.element_at(b, k + 1) - F.element_at(b, k),
+            ),
+        )
+
+    chunks = F.flatten(F.transform(F.array(bounds), cut))
     chunks = F.filter(chunks, lambda c: F.length(c) >= min_len)
     out = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.transform(chunks, F.md5)).alias("chunk_hash")
