@@ -53,33 +53,51 @@ _PHONE_PATTERNS = [
 
 
 def _svg_exprs(body):
-    svgs = F.transform(
+    raw = F.transform(
         F.regexp_extract_all(body, F.lit(r"(?is)(<svg[^>]*>.*?</svg>)"), 1), F.trim
     )
     # escaped svgs are code samples, not markup (rs:193-195)
-    svgs = F.filter(
-        svgs, lambda s: ~(s.contains("&#x22;") | s.contains("&#x27;"))
+    raw = F.filter(
+        raw, lambda s: ~(s.contains("&#x22;") | s.contains("&#x27;"))
     )
-    n_large = F.size(F.filter(svgs, lambda s: F.length(s) > MAX_INLINE_SVG_SIZE))
-    # same-page duplicate groups: > MAX_DUPLICATES copies of a big-enough svg
-    hashes = F.transform(svgs, F.md5)
-    dup_groups = F.size(
-        F.filter(
-            F.array_distinct(hashes),
-            lambda h: (
-                F.size(F.filter(hashes, lambda x: x == h)) > MAX_INLINE_SVG_DUPLICATES
-            )
-            & (
-                F.length(
-                    F.element_at(
-                        F.filter(svgs, lambda s: F.md5(s) == h), F.lit(1)
-                    )
-                )
-                > MAX_INLINE_SVG_DUPLICATE_SIZE
-            ),
+
+    # let-bind the extracted array via a single-element transform: every
+    # `svgs`/`hashes` reference inside the dup-group lambdas below would
+    # otherwise re-run the full-body regexp_extract_all scan per distinct
+    # hash (Catalyst skips subexpression elimination in higher-order-function
+    # lambdas — same measured pathology as functions/text.word_shingles)
+    def stats(svgs):
+        n_large = F.size(
+            F.filter(svgs, lambda s: F.length(s) > MAX_INLINE_SVG_SIZE)
         )
-    )
-    return F.size(svgs), n_large, dup_groups
+        # same-page duplicate groups: > MAX_DUPLICATES copies of a
+        # big-enough svg
+        hashes = F.transform(svgs, F.md5)
+        dup_groups = F.size(
+            F.filter(
+                F.array_distinct(hashes),
+                lambda h: (
+                    F.size(F.filter(hashes, lambda x: x == h))
+                    > MAX_INLINE_SVG_DUPLICATES
+                )
+                & (
+                    F.length(
+                        F.element_at(
+                            F.filter(svgs, lambda s: F.md5(s) == h), F.lit(1)
+                        )
+                    )
+                    > MAX_INLINE_SVG_DUPLICATE_SIZE
+                ),
+            )
+        )
+        return F.struct(
+            F.size(svgs).alias("n"),
+            n_large.alias("n_large"),
+            dup_groups.alias("dup_groups"),
+        )
+
+    st = F.element_at(F.transform(F.array(raw), stats), 1)
+    return st["n"], st["n_large"], st["dup_groups"]
 
 
 def _missing_quotes(body):
