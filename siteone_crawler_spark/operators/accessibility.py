@@ -64,14 +64,23 @@ def accessibility_exprs(body):
         ),
     )
     label_ids = _tags(body, r"""(?is)<label[^>]*\sfor\s*=\s*["']([^"']+)["']""")
-    labeled = lambda t: (  # noqa: E731
-        _has_attr(t, "aria-label")
-        | _has_attr(t, "aria-labelledby")
-        | _has_attr(t, "title")
-        | F.array_contains(label_ids, F.coalesce(_attr_val(t, "id"), F.lit("\x00")))
-    )
     n_controls = F.size(controls)
-    n_controls_unlabeled = F.size(F.filter(controls, lambda t: ~labeled(t)))
+
+    # let-bind label_ids: referenced inside the per-control lambda, the
+    # full-body <label for=...> extraction would re-run per control element
+    # (Catalyst skips subexpression elimination inside HOF lambdas)
+    def _unlabeled(lids):
+        labeled = lambda t: (  # noqa: E731
+            _has_attr(t, "aria-label")
+            | _has_attr(t, "aria-labelledby")
+            | _has_attr(t, "title")
+            | F.array_contains(lids, F.coalesce(_attr_val(t, "id"), F.lit("\x00")))
+        )
+        return F.size(F.filter(controls, lambda t: ~labeled(t)))
+
+    n_controls_unlabeled = F.element_at(
+        F.transform(F.array(label_ids), _unlabeled), F.lit(1)
+    )
 
     # interactive elements: the whole element block, so inner text counts
     # as the accessible name (rs:152-191 + element_has_accessible_name)
@@ -95,8 +104,16 @@ def accessibility_exprs(body):
 
     ids = _tags(body, r"""(?is)\sid\s*=\s*["']([^"']+)["']""")
     n_duplicate_ids = F.size(ids) - F.size(F.array_distinct(ids))
-    n_dangling_label_for = F.size(
-        F.filter(label_ids, lambda i: ~F.array_contains(ids, i))
+    # same let-bind: `ids` (a full-body id= extraction) inside the per-label
+    # lambda would re-extract per dangling-check element
+    n_dangling_label_for = F.element_at(
+        F.transform(
+            F.array(ids),
+            lambda idarr: F.size(
+                F.filter(label_ids, lambda i: ~F.array_contains(idarr, i))
+            ),
+        ),
+        F.lit(1),
     )
 
     return {
