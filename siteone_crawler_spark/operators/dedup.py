@@ -297,8 +297,14 @@ def simhash_near_pairs(
             ])
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    # terminate the fingerprint kernel in ONE exchange: the guard aggregate
+    # and both self-join sides re-execute everything below their own
+    # exchanges, so without this barrier the 64-bit vote kernel runs 3x
+    # (measured 2x wall on the native kernel); the joins below all want
+    # (blk, val) hash partitioning anyway, so this shuffle replaces theirs
+    blocks = blocks.repartition("blk", "val")
     if max_bucket is not None:
-        # both sides shuffle on (blk, val); AQE reuses the exchange
+        # both sides reuse the exchange above
         keep = (
             blocks.groupBy("blk", "val")
             .agg(F.count(F.lit(1)).alias("__n"))
