@@ -129,8 +129,14 @@ def minhash_candidate_pairs(
     near-dups) or re-band with more hashes. Pass None to disable."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     bk = lsh_band_keys(sigs, num_hashes, bands)
+    # terminate the shingle+signature build in ONE exchange: the guard
+    # aggregate and both self-join sides rename columns below their own
+    # exchanges, which defeats exchange reuse and re-runs the whole minhash
+    # pipeline per consumer (measured 3x wall); all of them want
+    # (band, band_key) hash partitioning anyway
+    bk = bk.repartition("band", "band_key")
     if max_bucket is not None:
-        # both sides shuffle on (band, band_key); AQE reuses the exchange
+        # both sides reuse the exchange above
         keep = (
             bk.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -404,6 +410,11 @@ def cdc_near_duplicates(
     appearing in more than `max_chunk_freq` docs (boilerplate) are dropped
     from pairing, the same over-full-bucket guard as the LSH families."""
     ch = cdc_chunks(docs, id_col, text_col, window, mask)
+    # one exchange for the chunk scan: totals, the frequency guard, and both
+    # inverted-index join sides otherwise re-run the per-char md5 boundary
+    # scan each (4x measured); the guard + pair joins want chunk_hash
+    # partitioning anyway, totals re-shuffles the tiny (doc_id, n) slice
+    ch = ch.repartition("chunk_hash")
     totals = ch.groupBy("doc_id").agg(F.sum("n").alias("total"))
     if max_chunk_freq is not None:
         keep = (

@@ -134,11 +134,21 @@ def embedding_near_dup_pairs(
     for its members). Pass None to disable the guard."""
     dim = embeddings.select(F.size(vec_col)).first()[0]
     planes = hyperplane_signs(n_planes, dim)
+    # per-ROW precompute: the cast and the norm are row-local, so doing them
+    # here instead of inside the per-PAIR cosine turns 3 interpreted HOF
+    # array passes per pair (dot + 2 norms) into 1 (the dot). The arithmetic
+    # is unchanged — the same scalar ops run, just before the join — so
+    # round(cos, 6) stays bit-identical to the naive form (and the oracle).
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     b = embeddings.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
+        vd.alias("v"),
+        _norm(vd).alias("nrm"),
         srp_bucket(F.col(vec_col), planes).alias("bkt"),
     )
+    # one exchange for the bucket build: the guard aggregate and both join
+    # sides otherwise re-run the hyperplane projection per consumer
+    b = b.repartition("bkt")
     if max_bucket is not None:
         keep = (
             b.groupBy("bkt")
@@ -147,13 +157,21 @@ def embedding_near_dup_pairs(
             .select("bkt")
         )
         b = b.join(keep, "bkt")
-    a = b.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), "bkt")
-    c = b.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), "bkt")
+    a = b.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"), "bkt",
+    )
+    c = b.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"), "bkt",
+    )
     pairs = a.join(c, "bkt").filter(F.col("id_a") < F.col("id_b"))
-    va = F.transform(F.col("v_a"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("v_b"), lambda x: x.cast("double"))
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom > 0, _dot(F.col("v_a"), F.col("v_b")) / denom).otherwise(
+        F.lit(0.0)
+    )
     return pairs.select(
-        "id_a", "id_b", F.round(cosine_similarity(va, vb), 6).alias("cos")
+        "id_a", "id_b", F.round(cos, 6).alias("cos")
     ).filter(F.col("cos") >= threshold)
 
 
@@ -413,11 +431,19 @@ def semdedup(
 
     Returns every input row as (id_col, cluster, keep)."""
     cents = pivot_centroids(embeddings, n_centroids, id_col, vec_col)
+    # per-ROW precompute (cast + norm) — see embedding_near_dup_pairs: the
+    # per-pair cosine then needs only the dot pass, with bit-identical
+    # round(cos, 6) results (the identical scalar ops run, just earlier)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     assigned = ivf_assign(embeddings, cents, id_col, vec_col).select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
+        vd.alias("__v"),
+        _norm(vd).alias("__nrm"),
         F.col("ivf_bucket").alias("cluster"),
     )
+    # one exchange for the assignment: the guard aggregate, both join sides,
+    # and the final keep-join otherwise re-run the centroid scoring each
+    assigned = assigned.repartition("cluster")
     pairable = assigned
     if max_cluster is not None:
         ok = (
@@ -428,14 +454,22 @@ def semdedup(
         )
         # <= n_centroids rows: always broadcastable
         pairable = assigned.join(F.broadcast(ok), "cluster")
-    a = pairable.select(F.col("__id").alias("ia"), F.col("__v").alias("va"), "cluster")
-    b = pairable.select(F.col("__id").alias("ib"), F.col("__v").alias("vb"), "cluster")
-    va = F.transform(F.col("va"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    a = pairable.select(
+        F.col("__id").alias("ia"), F.col("__v").alias("va"),
+        F.col("__nrm").alias("na"), "cluster",
+    )
+    b = pairable.select(
+        F.col("__id").alias("ib"), F.col("__v").alias("vb"),
+        F.col("__nrm").alias("nb"), "cluster",
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(
+        denom > 0, _dot(F.col("va"), F.col("vb")) / denom
+    ).otherwise(F.lit(0.0))
     dups = (
         a.join(b, "cluster")
         .filter(F.col("ia") < F.col("ib"))
-        .filter(F.round(cosine_similarity(va, vb), 6) >= threshold)
+        .filter(F.round(cos, 6) >= threshold)
         .select(F.col("ib").alias("__dup"))
         .distinct()
     )
