@@ -693,6 +693,27 @@ def _phase_table(lo: dict, hi: dict) -> str:
     )
 
 
+def _last_crawl_note() -> str:
+    """When this run's budget ran out before the (ungraded) crawl row, cite
+    the most recent recorded crawl from HISTORY instead of dropping the
+    number entirely — labeled with its run timestamp, not passed off as
+    this run's."""
+    try:
+        with open(HISTORY_PATH) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        rows = []
+    prior = [r for r in rows if r.get("crawl_ups")]
+    if not prior:
+        return "Full BFS crawl: skipped this run (budget exhausted).\n"
+    r = prior[-1]
+    return (
+        "Full BFS crawl: skipped this run (budget exhausted). Most recent\n"
+        f"recorded crawl (run of {r['t']}, same protocol): "
+        f"{r['crawl_ups']} URLs/sec.\n"
+    )
+
+
 def _write_baseline_md(
     lo: dict | None, hi: dict | None, eff: float | None, crawl: dict | None,
     wave_full: dict | None = None,
@@ -783,7 +804,7 @@ def _write_baseline_md(
                 "band, while best-of-2 pairs here are typically within a few\n"
                 "percent of each other.\n"
                 if crawl
-                else "Full BFS crawl: skipped this run (budget exhausted).\n"
+                else _last_crawl_note()
             )
         )
 
