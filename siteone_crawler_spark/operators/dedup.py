@@ -162,6 +162,17 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
+    # semi-join docs to the candidate ids BEFORE shingling: the inner joins
+    # below already restrict output to pair members, so this changes nothing
+    # — but it shrinks the expensive shingle build from O(corpus) to
+    # O(candidates), which at 10^10 docs is the difference between a full
+    # double corpus scan and a lookup-sized one
+    ids = (
+        pairs.select(F.col("doc_a").alias("__pid"))
+        .union(pairs.select(F.col("doc_b").alias("__pid")))
+        .distinct()
+    )
+    docs = docs.join(ids, docs[id_col] == ids["__pid"], "leftsemi")
     sets_ = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
