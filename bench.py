@@ -478,34 +478,20 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — timeout OR child crash: keep what
         pass  # we measured; the JSON line must always print
 
-    def _pair_eff() -> float | None:
-        if not (lo_runs and hi_runs):
-            return None
-        lo_b = max(r["urls_per_sec"] for r in lo_runs)
-        hi_b = max(r["urls_per_sec"] for r in hi_runs)
-        return (hi_b / lo_b) / (hi_cores / lo_cores)
-
     def _pair_topup(keep: float) -> None:
         """Spend budget (down to `keep`) on 1-run children for whichever
-        side's estimate is least trustworthy, in priority order:
-          1. a side with no settled best-of (two draws within 15%);
-          2. while the pair reads BELOW the 0.8 target (+ margin), the hi
-             side — best-of is a one-sided estimator on a host whose noise
-             only ever ADDS time, so extra draws move a side toward (never
-             past) its quiet-host mode: an under-target pair with a settled
-             lo is either real or an unlucky hi, and more draws decide which;
-          3. symmetrically, while it reads ABOVE 1.1 (impossible for the
-             engine — it means lo never drew quiet), the lo side."""
+        side's estimate is least trustworthy: a side with no settled
+        best-of (two draws within 15% of its best). The criterion is fixed
+        per side BEFORE any efficiency value is seen and never looks at
+        the lo/hi ratio — drawing (or stopping) conditioned on the graded
+        metric would be one-directional optional stopping (a best-of can
+        only rise with extra draws), i.e. measurement bias, not noise
+        reduction."""
         while lo_runs and hi_runs:
-            eff = _pair_eff()
             if not _side_settled(lo_runs) and len(lo_runs) < draws + 1:
                 side = "lo"
             elif not _side_settled(hi_runs) and len(hi_runs) < 2 * draws:
                 side = "hi"
-            elif eff < 0.82 and len(hi_runs) < 2 * draws:
-                side = "hi"
-            elif eff > 1.1 and len(lo_runs) < draws + 1:
-                side = "lo"
             else:
                 return
             cost = (
@@ -556,12 +542,11 @@ def main() -> None:
     wave_full = _wave_side(full_runs) if full_runs else None
     headline_fallback = wave_full is None
 
-    # the crawl row is UNGRADED color; the scaling pair is the graded
-    # metric — when the pair still reads below target, its final top-up
-    # (below) gets the crawl's budget instead
+    # the crawl row runs on BUDGET alone — never conditioned on how the
+    # graded pair currently reads (that would reallocate draws only when
+    # the number is unfavorable: optional stopping on the graded metric)
     crawl = None
-    eff_now = _pair_eff()
-    if _left() > 180 and (eff_now is None or eff_now >= 0.82):
+    if _left() > 180:
         try:
             crawl = _spawn("crawl", CPUS, CRAWL_DOCS)
         except Exception:  # noqa: BLE001
