@@ -106,8 +106,13 @@ def _hits(toks: str, lang: str, dialect: str) -> str:
     return f"{sz}({fn}({toks}, x -> x IN ({_STOP[lang]})))"
 
 
-def _quality_sql(dialect: str) -> str:
-    toks = _TOKS_SPARK if dialect == "spark" else _TOKS_DUCK
+def _quality_sql(dialect: str, toks: str | None = None) -> str:
+    """`toks` overrides the token expression — the Spark queries bind the
+    token array ONCE in a subquery column (Catalyst skips subexpression
+    elimination for lambda-bearing expressions, so the default inline form
+    re-tokenizes per textual reference); the DuckDB oracle text keeps the
+    inline default and is byte-identical to previous rounds."""
+    toks = toks or (_TOKS_SPARK if dialect == "spark" else _TOKS_DUCK)
     sz = "size" if dialect == "spark" else "len"
     g = ", 'g'" if dialect == "duck" else ""
     n_tok = f"{sz}({toks})"
@@ -119,9 +124,13 @@ def _quality_sql(dialect: str) -> str:
     return f"round(0.4 * {len_score} + 0.3 * {sw_score} + 0.3 * {punct_pen}, 6)"
 
 
-def _lang_sql(dialect: str) -> str:
-    toks = _TOKS_SPARK if dialect == "spark" else _TOKS_DUCK
-    h = {lang: _hits(toks, lang, dialect) for lang in _STOP}
+def _lang_sql(dialect: str, h: dict[str, str] | None = None) -> str:
+    """`h` overrides the per-language hit-count expressions — the Spark
+    query binds them as subquery columns (each is referenced up to 4x in
+    the CASE); the DuckDB oracle text keeps the inline default."""
+    if h is None:
+        toks = _TOKS_SPARK if dialect == "spark" else _TOKS_DUCK
+        h = {lang: _hits(toks, lang, dialect) for lang in _STOP}
     return (
         "CASE "
         f"WHEN {h['en']} >= {h['es']} AND {h['en']} >= {h['fr']} AND {h['en']} >= {h['zh']} AND {h['en']} > 0 THEN 'en' "
@@ -455,18 +464,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         FROM documents GROUP BY lang"""
     )
 
+    # Spark side binds the token array (and for lang_id the per-language hit
+    # counts) as subquery columns so the lambda-bearing tokenization runs
+    # ONCE per row instead of once per textual reference (Catalyst skips
+    # subexpression elimination for higher-order-function expressions). The
+    # computed VALUES are expression-for-expression identical to the inline
+    # form the DuckDB oracle still uses.
     q["quality_score"] = sqlq(
         f"""
         SELECT source,
-          round(cast(sum(cast({_quality_sql('spark')} AS decimal(18,8))) AS double) / count(*), 6) AS avg_quality,
+          round(cast(sum(cast({_quality_sql('spark', toks='__toks')} AS decimal(18,8))) AS double) / count(*), 6) AS avg_quality,
           count(*) AS n
-        FROM documents GROUP BY source"""
+        FROM (SELECT source, text, {_TOKS_SPARK} AS __toks FROM documents) __q
+        GROUP BY source"""
     )
 
+    _hit_cols = {lang: f"__h_{lang}" for lang in _STOP}
     q["lang_id"] = sqlq(
         f"""
-        SELECT doc_id, {_lang_sql('spark')} AS lang_guess, lang AS lang_actual
-        FROM documents"""
+        SELECT doc_id, {_lang_sql('spark', h=_hit_cols)} AS lang_guess, lang AS lang_actual
+        FROM (SELECT doc_id, lang,
+                {', '.join(f"{_hits('__toks', lang, 'spark')} AS __h_{lang}" for lang in _STOP)}
+              FROM (SELECT doc_id, lang, {_TOKS_SPARK} AS __toks FROM documents) __t0) __t1"""
     )
 
     q["doc_fingerprint"] = sqlq(

@@ -543,10 +543,16 @@ class CrawlEngine:
         c = self._resolve_candidates(candidates)
 
         def _write_visited_and_absorb():
+            t0 = _time.time()
             self.store.write_table(
                 "visited", wave, visited, max_files=self._nfiles(n_pending)
             )
+            t1 = _time.time()
+            metrics.append((wave, "subtime_us:visited_write", int((t1 - t0) * 1e6)))
             self._absorb_events(wave)  # driver-side column read, no job
+            metrics.append(
+                (wave, "subtime_us:absorb_events", int((_time.time() - t1) * 1e6))
+            )
 
         with ThreadPoolExecutor(max_workers=2) as ex:
             f_vis = ex.submit(_write_visited_and_absorb)
@@ -561,13 +567,27 @@ class CrawlEngine:
 
         # skipped-write and frontier-finalize are independent once the cache
         # is hot — run them as concurrent Spark jobs (fills idle cores and
-        # removes their latencies from the wave's serial chain)
+        # removes their latencies from the wave's serial chain). Per-thread
+        # sub-timings land as `subtime_us:` metric rows (a separate prefix:
+        # the bench sums `time_us:` rows for its tail residual, and these
+        # overlap in wall time).
+        def _timed(name: str, fn, *a):
+            t0 = _time.time()
+            out = fn(*a)
+            metrics.append(
+                (wave, f"subtime_us:{name}", int((_time.time() - t0) * 1e6))
+            )
+            return out
+
         with ThreadPoolExecutor(max_workers=2) as ex:
             f_skip = ex.submit(
-                self.store.write_table, "skipped", wave + 1, skipped,
-                self._nfiles(n_cand_all),
+                _timed, "skipped_write", self.store.write_table, "skipped",
+                wave + 1, skipped, self._nfiles(n_cand_all),
             )
-            f_new = ex.submit(self._finalize_frontier, accepted, wave + 1, n_cand_all)
+            f_new = ex.submit(
+                _timed, "finalize", self._finalize_frontier, accepted,
+                wave + 1, n_cand_all, metrics,
+            )
             f_skip.result()
             n_new = f_new.result()
         _mark("skipped+finalize")
@@ -789,9 +809,26 @@ class CrawlEngine:
 
     # -------------------------------------------------- finalize a wave
     def _finalize_frontier(
-        self, accepted: DataFrame, wave: int, size_hint: int | None = None
+        self, accepted: DataFrame, wave: int, size_hint: int | None = None,
+        metrics: list | None = None,
     ) -> int:
         cfg = self.config
+        import time as _time
+
+        _t0 = _time.time()
+
+        def _sub(name: str) -> None:
+            # optional fine-grained attribution (subtime_us: rows — see
+            # _run_wave; they overlap the threaded skipped write, so they
+            # are NOT part of the bench's time_us phase arithmetic)
+            nonlocal _t0
+            if metrics is not None:
+                now = _time.time()
+                metrics.append(
+                    (wave - 1, f"subtime_us:finalize/{name}",
+                     int((now - _t0) * 1e6))
+                )
+                _t0 = now
 
         # accepted: anti-join seen FIRST (the bloom prefilter drops the
         # dominant mass — occurrences of already-seen keys — MAP-SIDE,
@@ -815,6 +852,7 @@ class CrawlEngine:
             new, ["parent_seq", "offset"], seq_col="seq", start=self.n_enqueued,
             cache_registry=self._wave_caches, size_hint=size_hint,
         )
+        _sub("rank")
         # global enqueue cap (crawler.rs:1268-1306): total-ever < max_visited
         new = new.filter(F.col("seq") < cfg.max_visited_urls)
         # queue cap: cheap python upper bound first (max seq - min possible
@@ -838,6 +876,7 @@ class CrawlEngine:
         )
         self.store.write_table("frontier", wave, frontier_new, max_files=self._nfiles(n_cand))
         n_new = self.store.count_rows("frontier", wave)  # footer read, no job
+        _sub("frontier_write")
 
         # seen-set table: (url_key, bucket) PARTITIONED BY bucket on disk —
         # the exact anti-join side partition-prunes and never recomputes the
@@ -887,8 +926,10 @@ class CrawlEngine:
                 f_bloom = ex.submit(_update_bloom)
                 f_seen.result()
                 f_bloom.result()
+            _sub("seen+bloom")
         else:
             _write_seen()
+            _sub("seen_write")
             if want_bloom:  # first build folds the ENTIRE seen set
                 self.seen._keys = self.store.read_all_partitioned(
                     "seen", wave, "url_key string, bucket int", ["url_key", "bucket"]
@@ -905,6 +946,7 @@ class CrawlEngine:
         self.seen._keys = self.store.read_all_partitioned(
             "seen", wave, "url_key string, bucket int", ["url_key", "bucket"]
         )
+        _sub("tail")
         return n_new
 
     def _bloom_absorb(self, src: DataFrame, slice_rows: int) -> None:

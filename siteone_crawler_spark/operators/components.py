@@ -89,8 +89,13 @@ def connected_components(
     for _ in range(max_iterations):
         e2 = _dedup_edges(_small_star(_large_star(e))).localCheckpoint(eager=True)
         # converged iff the edge set is unchanged (then every edge already
-        # points at its component root and both stars are no-ops)
-        changed = e2.exceptAll(e).limit(1).count() or e.exceptAll(e2).limit(1).count()
+        # points at its component root and both stars are no-ops). Both
+        # symmetric differences ride ONE job (union + limit) instead of
+        # two sequential count actions — on converged rounds the old form
+        # always paid the second job.
+        changed = (
+            e2.exceptAll(e).unionAll(e.exceptAll(e2)).limit(1).count()
+        )
         e = e2
         if not changed:
             break

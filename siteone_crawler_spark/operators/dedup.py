@@ -66,6 +66,33 @@ def exact_duplicates(
     )
 
 
+def _minhash_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per doc with all `num_hashes` minhashes as columns
+    (__m0..__m{k-1}): a single groupBy(doc_id) with k min() aggregates.
+
+    The tall formulation (explode k seeds per shingle, groupBy (doc, seed))
+    multiplied the shuffle by k AND paid a second exchange to regroup by
+    (doc, band); here the k mins partial-aggregate map-side over the raw
+    shingle rows, ONE exchange carries k hashes per doc, and band keys
+    become row-local expressions. Values are identical: min over
+    md5(str(seed) || '|' || shingle) per seed either way."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -74,19 +101,16 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(doc_id, seed, minhash): minhash = lexicographic MIN over
-    md5(seed || '|' || shingle). Rows with no shingles get no signature."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))))
-            .alias("minhash")
-        )
+    md5(seed || '|' || shingle). Rows with no shingles get no signature.
+    Computed via the wide one-exchange aggregate (_minhash_wide) and
+    unfolded with posexplode — same rows, one exchange instead of one per
+    grouping and no k-way shingle-row multiplication before the shuffle."""
+    wide = _minhash_wide(docs, id_col, text_col, num_hashes, shingle_n)
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+        ).alias("seed", "minhash"),
     )
 
 
@@ -127,14 +151,44 @@ def minhash_candidate_pairs(
     over-full bucket means the band is uninformative for its members — at
     scale, route those docs to exact dedup (identical shingle sets ARE exact
     near-dups) or re-band with more hashes. Pass None to disable."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    bk = lsh_band_keys(sigs, num_hashes, bands)
-    # terminate the shingle+signature build in ONE exchange: the guard
-    # aggregate and both self-join sides rename columns below their own
-    # exchanges, which defeats exchange reuse and re-runs the whole minhash
-    # pipeline per consumer (measured 3x wall); all of them want
-    # (band, band_key) hash partitioning anyway
-    bk = bk.repartition("band", "band_key")
+    wide = _minhash_wide(docs, id_col, text_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    # band keys are ROW-LOCAL over the wide signature row (md5 of the
+    # band's sorted minhashes — identical to the tall collect_list +
+    # array_sort values), so the tall path's second (doc, band) exchange
+    # disappears entirely
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.array(
+                            *[
+                                F.col(f"__m{b * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ]
+                        )
+                    ),
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    bk = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("doc_id", F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key"))
+    # terminate the shingle+signature build in ONE exchange plus a LAZY
+    # localCheckpoint barrier: the guard aggregate and both self-join sides
+    # rename columns below their own exchanges, which defeats exchange
+    # reuse and re-ran the whole minhash pipeline per consumer (measured 3x
+    # wall; the repartition alone did not restore reuse — the consumers'
+    # differently-pruned subtrees canonicalize differently). The checkpoint
+    # is lazy (computed inside the consuming action, fresh per build — no
+    # cross-run result reuse) and holds only the slim (doc_id, band,
+    # band_key) rows the joins shuffle anyway.
+    bk = bk.repartition("band", "band_key").localCheckpoint(eager=False)
     if max_bucket is not None:
         # both sides reuse the exchange above
         keep = (
@@ -173,10 +227,13 @@ def jaccard_pairs(
         .distinct()
     )
     docs = docs.join(ids, docs[id_col] == ids["__pid"], "leftsemi")
+    # lazy barrier: the shingle-set build is consumed twice (doc_a side and
+    # doc_b side of the verify join) and re-ran per side without it; the
+    # checkpoint holds candidate-sized rows only (post semi-join)
     sets_ = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     j = (
         pairs.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -277,9 +334,15 @@ def simhash64(
             out.append(int(fp.astype(np.int64)))
         return pd.Series(out)
 
+    # nondeterministic: stops the optimizer pushing inferred isnotnull
+    # filters below the UDF and re-evaluating it above them (two
+    # ArrowEvalPython nodes per branch — guide-§4.4 duplication, measured
+    # in the r5 simhash plan); values are of course deterministic, the
+    # flag only pins evaluation placement
+    simhash_once = simhash_udf.asNondeterministic()
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash_udf(norm_tokens(F.col(text_col))).alias("simhash"),
+        simhash_once(norm_tokens(F.col(text_col))).alias("simhash"),
     )
 
 
@@ -314,12 +377,18 @@ def simhash_near_pairs(
             ])
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    # terminate the fingerprint kernel in ONE exchange: the guard aggregate
-    # and both self-join sides re-execute everything below their own
-    # exchanges, so without this barrier the 64-bit vote kernel runs 3x
-    # (measured 2x wall on the native kernel); the joins below all want
-    # (blk, val) hash partitioning anyway, so this shuffle replaces theirs
-    blocks = blocks.repartition("blk", "val")
+    # terminate the fingerprint kernel in ONE exchange plus a LAZY
+    # localCheckpoint barrier: the guard aggregate and both self-join sides
+    # re-execute everything below their own exchanges (the repartition
+    # alone did not restore exchange reuse — the consumers' differently-
+    # pruned subtrees canonicalize differently, and the r5 plan showed six
+    # ArrowEvalPython nodes for one UDF), so without the barrier the
+    # 64-bit vote kernel ran per consumer. Lazy: computed inside the
+    # consuming action, fresh per build (no cross-run result reuse); it
+    # holds the slim (doc_id, simhash, blk, val) rows the joins shuffle
+    # anyway. The joins below all want (blk, val) hash partitioning, so
+    # this shuffle replaces theirs.
+    blocks = blocks.repartition("blk", "val").localCheckpoint(eager=False)
     if max_bucket is not None:
         # both sides reuse the exchange above
         keep = (
@@ -421,11 +490,14 @@ def cdc_near_duplicates(
     appearing in more than `max_chunk_freq` docs (boilerplate) are dropped
     from pairing, the same over-full-bucket guard as the LSH families."""
     ch = cdc_chunks(docs, id_col, text_col, window, mask)
-    # one exchange for the chunk scan: totals, the frequency guard, and both
-    # inverted-index join sides otherwise re-run the per-char md5 boundary
-    # scan each (4x measured); the guard + pair joins want chunk_hash
-    # partitioning anyway, totals re-shuffles the tiny (doc_id, n) slice
-    ch = ch.repartition("chunk_hash")
+    # one exchange + a LAZY localCheckpoint barrier for the chunk scan:
+    # totals, the frequency guard, and both inverted-index join sides
+    # otherwise re-run the per-char md5 boundary scan each (4x measured;
+    # the repartition alone did not restore exchange reuse across the
+    # consumers' differently-pruned subtrees). Lazy: computed inside the
+    # consuming action, fresh per build — no cross-run result reuse; it
+    # holds the slim (doc_id, chunk_hash, n) rows the joins shuffle anyway.
+    ch = ch.repartition("chunk_hash").localCheckpoint(eager=False)
     totals = ch.groupBy("doc_id").agg(F.sum("n").alias("total"))
     if max_chunk_freq is not None:
         keep = (
@@ -485,10 +557,14 @@ def repeated_window_stats(
     (the SQL kind), no Python."""
     from siteone_crawler_spark.functions.text import token_count, word_shingles
 
+    # lazy barrier: the occurrence stream feeds BOTH the corpus-wide window
+    # count and the per-doc semi-join — without it the tokenize+shingle+md5
+    # pass (the expensive part) ran once per consumer. Stored rows are the
+    # already-hashed (doc_id, h) pairs the two shuffles move anyway.
     occ = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), window)).alias("__w"),
-    ).select("doc_id", F.md5("__w").alias("h"))
+    ).select("doc_id", F.md5("__w").alias("h")).localCheckpoint(eager=False)
     hot = (
         occ.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__n"))

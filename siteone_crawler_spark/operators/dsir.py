@@ -97,9 +97,24 @@ def dsir_weights(
             F.explode(word_grams(F.col(text_col), max_n)).alias("__g"),
         ).select("__id", gram_bucket(F.col("__g"), n_buckets).alias("b"))
 
-    raw_g = grams_of(raw)
+    # Per-(doc, bucket) pre-aggregate with a lazy localCheckpoint barrier:
+    # raw_g fed BOTH the corpus bucket counts and the per-doc scoring join,
+    # so the whole gram explode ran twice without it. doc_b is ≤ n_buckets
+    # rows per doc (vs one row per gram INSTANCE), so the barrier stores —
+    # and the broadcast join and final per-doc shuffle move — an
+    # order-of-magnitude fewer rows; the corpus counts then fold doc_b
+    # instead of re-walking the grams. Per-doc weight becomes
+    # sum(n_instances * lr) per bucket, which is the same quantity as the
+    # per-instance sum (the 6-dp rounding absorbs the float reassociation,
+    # exactly as it already absorbs engine-vs-oracle accumulation order).
+    doc_b = (
+        grams_of(raw)
+        .groupBy("__id", "b")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .localCheckpoint(eager=False)
+    )
     tgt_g = grams_of(target)
-    raw_counts = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    raw_counts = doc_b.groupBy("b").agg(F.sum("__k").alias("cr"))
     tgt_counts = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     lb = float(alpha) * n_buckets
     # corpus totals as window sums OVER THE <=n_buckets-row count tables
@@ -130,9 +145,9 @@ def dsir_weights(
         ).alias("lr"),
     )
     per_doc = (
-        raw_g.join(F.broadcast(ratio), "b")
+        doc_b.join(F.broadcast(ratio), "b")
         .groupBy("__id")
-        .agg(F.sum("lr").alias("__w"))
+        .agg(F.sum(F.col("__k") * F.col("lr")).alias("__w"))
     )
     return (
         raw.select(F.col(id_col).alias("__id"))

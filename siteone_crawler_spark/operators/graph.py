@@ -76,11 +76,16 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
-        dangling = (
+        # dangling mass stays a LAZY one-row DataFrame attached by cross
+        # join (broadcast of a single row): collecting it with .first()
+        # per iteration forced one extra driver action per power step AND
+        # recomputed the un-checkpointed rank chain each time. The
+        # arithmetic is unchanged — sum over the same anti-joined rank
+        # rows, divided by n — so ranks match the collect-based form to
+        # the same float-accumulation noise the 6-dp rounding absorbs.
+        dang = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -92,14 +97,29 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_rank"), F.lit(0.0))
+                        + F.col("__dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
         )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        # LAZY per-iteration cut (checkpoint_every kept for API compat; a
+        # lazy cut is strictly cheaper than the old eager-every-4): the
+        # next iteration consumes `ranks` TWICE (dangling + contribs), so
+        # without a shared materialization point the rank chain would be
+        # recomputed per consumer, doubling per step. One lazy checkpoint
+        # per step = each iteration computed exactly once, inside the
+        # caller's action, with the lineage cut the loop always needed —
+        # and zero driver actions inside the loop (the old form paid an
+        # eager materialization every 4 steps plus a .first() every step).
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks

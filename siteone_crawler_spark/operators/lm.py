@@ -36,10 +36,15 @@ def unigram_logprobs(
     p(tok) = (count + alpha) / (N + alpha * (V + 1)) — the +1 reserves one
     smoothing slot for unseen tokens, whose shared logprob is returned as
     the scalar unk_logp."""
+    # lazy barrier: the vocabulary counts feed BOTH the scalar totals
+    # (.first() below) and the logprob table — without it the reference
+    # corpus tokenize+explode+aggregate ran twice. Vocabulary-sized rows
+    # only; computed inside the first consuming action, fresh per build.
     counts = (
         ref.select(F.explode(norm_tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.sum("__c").alias("n"), F.count(F.lit(1)).alias("v")

@@ -57,6 +57,17 @@ def with_global_seq(
                 n_rows,
             )
     n_part = num_partitions or spark.sparkContext.defaultParallelism
+    if n_rows is None:
+        # executing the range exchange runs the upstream TWICE — once for
+        # the range-bound sampling job inside the exchange, once for the
+        # shuffle itself. When the caller skipped the sizing count (big
+        # size_hint), persist the input so the sampling pass materializes
+        # it and the shuffle reads the cache instead of recomputing the
+        # whole upstream (for the frontier this is the seen anti-join +
+        # min_by dedup aggregate — the most expensive part of finalize).
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(df)
     sorted_df = (
         df.repartitionByRange(n_part, *order_keys)
         .sortWithinPartitions(*order_keys)
@@ -71,28 +82,29 @@ def with_global_seq(
     }
     if n_rows is None:
         n_rows = sum(counts.values())
-    offsets: dict[int, int] = {}
+    max_pid = max(counts, default=-1)
+    offsets: list[int] = []
     acc = start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for pid in range(max_pid + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
 
-    bc = spark.sparkContext.broadcast(offsets)
-    schema_out = sorted_df.drop("__pid").schema.add(seq_col, "long")
-
-    def assign(iterator):
-        # a partition arrives as SEVERAL Arrow batches, in order — carry a cursor
-        cursor = None
-        for pdf in iterator:
-            if len(pdf) and cursor is None:
-                cursor = bc.value[int(pdf["__pid"].iloc[0])]
-            pdf = pdf.drop(columns="__pid")
-            if len(pdf):
-                pdf[seq_col] = range(cursor, cursor + len(pdf))
-                cursor += len(pdf)
-            else:
-                pdf[seq_col] = pdf.index.astype("int64")
-            yield pdf
-
-    out = sorted_df.mapInPandas(assign, schema=schema_out)
+    # Seq assignment is PURE CATALYST over the cached sorted partitions:
+    # monotonically_increasing_id() yields pid * 2^33 + row-within-task in
+    # iteration order, so (mid & (2^33-1)) is the row's 0-based position in
+    # its sorted partition and the per-partition offset comes from a tiny
+    # literal array indexed by spark_partition_id(). This replaces the
+    # previous mapInPandas cursor pass — the whole new-frontier slice no
+    # longer crosses the JVM->Arrow->pandas boundary just to number rows
+    # (guide §4: eliminate the Python boundary). Determinism is unchanged
+    # and rests on the same two facts as before: order_keys are a unique
+    # compound key (within-partition sort order is total) and the
+    # partitions are the persisted ones the offsets were counted on.
+    mid = F.monotonically_increasing_id()
+    arr = F.array(*[F.lit(int(o)) for o in offsets]) if offsets else F.array(F.lit(int(start)))
+    seq = (
+        F.element_at(arr, F.spark_partition_id() + 1).cast("long")
+        + mid.bitwiseAND(F.lit((1 << 33) - 1))
+    ).cast("long")
+    out = sorted_df.withColumn(seq_col, seq).drop("__pid")
     return out, n_rows

@@ -16,9 +16,22 @@ driver-side (plane count x dim is tiny) and injected as literal arrays.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _py_norm(vals) -> float:
+    """Driver-side L2 norm replicating the EXACT IEEE operation order of
+    `_norm` on a literal array after constant folding: a left fold of
+    acc + x*x in element order, then sqrt — both engines use correctly-
+    rounded double ops, so the result is bit-identical to what Catalyst
+    would compute from the same literals at runtime."""
+    acc = 0.0
+    for x in vals:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def _dot(a, b):
@@ -71,10 +84,15 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def srp_bucket(vec_col, planes: list[list[float]]):
-    """Signed-random-projection bucket id: bit p = (dot(vec, plane_p) >= 0)."""
+def srp_bucket(vec_col, planes: list[list[float]], cast: bool = True):
+    """Signed-random-projection bucket id: bit p = (dot(vec, plane_p) >= 0).
+    cast=False skips the per-plane double cast when `vec_col` is already an
+    array<double> (e.g. a hoisted projection column) — the dot products and
+    sign tests are then identical ops over identical values."""
     bucket = F.lit(0).cast("long")
-    cast_vec = F.transform(vec_col, lambda x: x.cast("double"))
+    cast_vec = (
+        F.transform(vec_col, lambda x: x.cast("double")) if cast else vec_col
+    )
     for p, plane in enumerate(planes):
         pl = F.array(*[F.lit(x) for x in plane])
         bit = F.when(_dot(cast_vec, pl) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
@@ -140,15 +158,22 @@ def embedding_near_dup_pairs(
     # is unchanged — the same scalar ops run, just before the join — so
     # round(cos, 6) stays bit-identical to the naive form (and the oracle).
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    b = embeddings.select(
+    b = embeddings.withColumn("__vd", vd).select(
         F.col(id_col).alias("vid"),
-        vd.alias("v"),
-        _norm(vd).alias("nrm"),
-        srp_bucket(F.col(vec_col), planes).alias("bkt"),
+        F.col("__vd").alias("v"),
+        _norm(F.col("__vd")).alias("nrm"),
+        # cast=False: __vd is already array<double>, so the per-plane
+        # re-cast disappears; dot/sign results are identical
+        srp_bucket(F.col("__vd"), planes, cast=False).alias("bkt"),
     )
-    # one exchange for the bucket build: the guard aggregate and both join
-    # sides otherwise re-run the hyperplane projection per consumer
-    b = b.repartition("bkt")
+    # one exchange + a lazy localCheckpoint barrier for the bucket build:
+    # the guard aggregate and both join sides are three consumers and
+    # exchange reuse does not fire across their differently-pruned copies —
+    # without the barrier the hyperplane projection re-ran per consumer.
+    # Lazy: computed inside the consuming action, fresh per build (no
+    # cross-run reuse); it holds the already-projected (id, v, nrm, bkt)
+    # slice the join shuffles anyway.
+    b = b.repartition("bkt").localCheckpoint(eager=False)
     if max_bucket is not None:
         keep = (
             b.groupBy("bkt")
@@ -187,23 +212,44 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_aux: bool = False,
 ):
     """Assign each row to its nearest centroid by cosine (ties -> larger
     centroid id). Centroids are broadcast as literal arrays, so assignment
     is pure codegen'd expressions — no UDF, no shuffle. At scale the
     resulting `ivf_bucket` is a stored, partition-pruned column: probing
-    nprobe lists reads nprobe/k of the data."""
-    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(_cos_to_lit(cast_vec, c), 9).alias("cos"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    nprobe lists reads nprobe/k of the data.
+
+    The row's cast vector and norm are HOISTED into projection columns
+    (evaluated once per row) and each centroid's norm is pre-folded
+    driver-side with the same IEEE operation order (_py_norm): the naive
+    per-centroid cosine re-cast the vector and re-computed its norm k
+    times per row and carried k copies of the expression tree through the
+    plan (the semdedup plan was 400+ KB of repeated subtrees — planning
+    time alone dominated small runs). denom stays norm(v) * norm(c) in
+    that order, so round(cos, 9) is bit-identical to the naive form.
+    keep_aux=True retains the `__ivf_vd` (array<double>) and `__ivf_nv`
+    columns for callers that need the cast vector/norm again (semdedup,
+    ivf_topk) — saving further per-row passes."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vdc, nvc = F.col("__ivf_vd"), F.col("__ivf_nv")
+    scored = []
+    for i, c in enumerate(centroids):
+        cn = _py_norm(c)
+        denom = nvc * F.lit(cn)
+        cos = F.when(
+            denom > 0,
+            _dot(vdc, F.array(*[F.lit(float(x)) for x in c])) / denom,
+        ).otherwise(F.lit(0.0))
+        scored.append(
+            F.struct(F.round(cos, 9).alias("cos"), F.lit(i).alias("cid"))
+        )
+    out = (
+        embeddings.withColumn("__ivf_vd", vd)
+        .withColumn("__ivf_nv", _norm(vdc))
+        .withColumn("ivf_bucket", F.array_max(F.array(*scored))["cid"])
     )
-    return embeddings.withColumn("ivf_bucket", F.array_max(scored)["cid"])
+    return out if keep_aux else out.drop("__ivf_vd", "__ivf_nv")
 
 
 def pivot_centroids(
@@ -275,13 +321,19 @@ def ivf_topk(
     )
     probe = ranked[:nprobe]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cand = ivf_assign(embeddings, centroids, id_col, vec_col).filter(
+    # reuse the assignment's hoisted cast vector + norm for the query-side
+    # cosine (same denom order norm(v) * norm(q), so round(cos, 6) is
+    # bit-identical to the naive per-row recompute)
+    denom = F.col("__ivf_nv") * F.lit(_py_norm(query_vec))
+    cos = F.when(denom > 0, _dot(F.col("__ivf_vd"), q) / denom).otherwise(
+        F.lit(0.0)
+    )
+    cand = ivf_assign(embeddings, centroids, id_col, vec_col, keep_aux=True).filter(
         F.col("ivf_bucket").isin(probe)
     )
     scored = cand.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine_similarity(cast_vec, q), 6).alias("cos"),
+        F.round(cos, 6).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
@@ -431,19 +483,28 @@ def semdedup(
 
     Returns every input row as (id_col, cluster, keep)."""
     cents = pivot_centroids(embeddings, n_centroids, id_col, vec_col)
-    # per-ROW precompute (cast + norm) — see embedding_near_dup_pairs: the
-    # per-pair cosine then needs only the dot pass, with bit-identical
-    # round(cos, 6) results (the identical scalar ops run, just earlier)
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col).select(
+    # per-ROW precompute (cast + norm) — reused straight from ivf_assign's
+    # hoisted aux columns: the per-pair cosine then needs only the dot
+    # pass, with bit-identical round(cos, 6) results (the identical scalar
+    # ops run, just earlier)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col, keep_aux=True).select(
         F.col(id_col).alias("__id"),
-        vd.alias("__v"),
-        _norm(vd).alias("__nrm"),
+        F.col("__ivf_vd").alias("__v"),
+        F.col("__ivf_nv").alias("__nrm"),
         F.col("ivf_bucket").alias("cluster"),
     )
-    # one exchange for the assignment: the guard aggregate, both join sides,
-    # and the final keep-join otherwise re-run the centroid scoring each
-    assigned = assigned.repartition("cluster")
+    # one exchange + a lazy localCheckpoint barrier for the assignment: the
+    # guard aggregate, both join sides, and the final keep-join are four
+    # consumers of this subtree, and Spark's exchange reuse does NOT fire
+    # across their differently-pruned copies — without the barrier the
+    # centroid scoring ran per consumer and the final plan carried four
+    # copies of the k-centroid expression tree (420 KB of plan at k=8,
+    # dim=64: planning time alone dominated small runs). The checkpoint is
+    # lazy (computed inside the consuming action, nothing runs at build
+    # time) and per-DataFrame (a fresh build re-computes — no cross-run
+    # result reuse); it materializes one already-shuffled, projected slice
+    # (id, vector, norm, cluster), the same bytes the join shuffles anyway.
+    assigned = assigned.repartition("cluster").localCheckpoint(eager=False)
     pairable = assigned
     if max_cluster is not None:
         ok = (

@@ -44,6 +44,11 @@ def tfidf_topk(
     if k < 1:
         raise ValueError("k must be >= 1")
     n_docs = docs.count()  # scalar corpus size, like dsir's gram totals
+    # lazy barrier: tf feeds BOTH the document-frequency aggregate and the
+    # score join — without it the corpus tokenize+explode+aggregate ran
+    # twice. The checkpoint holds the post-aggregate (doc, term, tf) rows
+    # (the corpus vocabulary slice the joins shuffle anyway), computed
+    # inside the consuming action, fresh per build.
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -51,6 +56,7 @@ def tfidf_topk(
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     idf = F.log((n_docs + 1.0) / (F.col("__df") + 1.0)) + 1.0
