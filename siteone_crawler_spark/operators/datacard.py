@@ -41,12 +41,16 @@ def corpus_datacard(
     once in the WHOLE corpus (cross-source duplicates count in every source
     that holds a copy); top_lang is the most frequent language (ties ->
     lexicographically smallest)."""
+    # lazy barrier: base is consumed three times (duplicate-fingerprint
+    # aggregate, dup-flag join, language mode) and the tokenize+md5 scan
+    # re-ran per consumer without it; the checkpoint holds only the slim
+    # (source, lang, n_tokens, fp) projection
     base = docs.select(
         F.col(source_col).alias("source"),
         F.col(lang_col).alias("lang"),
         F.size(norm_tokens(F.col(text_col))).alias("__nt"),
         F.md5(F.col(text_col)).alias("__fp"),
-    )
+    ).localCheckpoint(eager=False)
     dup_fps = (
         base.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -11,10 +11,11 @@ with Laplace-smoothed bucket probabilities p(b) = (count(b) + alpha) /
 (total + alpha * n_buckets). High-weight docs are then kept (top-k or
 Gumbel resampling — both compose with operators/sampling.py).
 
-Scale shape: the two bucket-count aggregates are map-side-combinable
-groupBys over <= n_buckets keys; the log-ratio table is n_buckets rows and
-is BROADCAST into the per-doc join, so the only real shuffle is the final
-sum-per-doc — exactly one pass over the raw corpus however big it is.
+Scale shape: ONE pass over the raw corpus builds a per-(doc, bucket)
+count table (<= n_buckets rows per doc, lazily checkpointed so its two
+consumers share it); corpus bucket totals fold that table, the log-ratio
+table is n_buckets rows and is BROADCAST into the per-doc scoring join,
+and the final sum-per-doc shuffles bucket counts, not gram instances.
 Grams and buckets are pure native expressions (md5 low-32 hashing — the
 same engine-portable idiom as the dedup family), so the DuckDB oracle
 reproduces every bucket id bit-exactly.
