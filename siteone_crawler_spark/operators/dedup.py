@@ -287,20 +287,48 @@ def simhash64(
       (tests/test_dedup.py pins this on a fixture corpus).
     """
     if native:
+        # SWAR bit-count kernel — identical fingerprints to the naive
+        # per-bit vote fold, ~8x fewer interpreted-lambda ops (HOF lambdas
+        # never reach codegen, so op count IS the cost; the naive form's
+        # 64-wide per-token transform measured ~65 s on a 100k-doc corpus
+        # with the kernel as the whole bottleneck). Layout: for shift k in
+        # 0..7, (h >> k) & 0x0101...01 drops bit (k + 8j) of the token
+        # hash into byte lane j, so adding that word into an accumulator
+        # long counts eight bit positions at once (8 ops per token instead
+        # of 64). Byte lanes must stay below 128 so 127 additions of the
+        # all-lanes word 0x0101..01 cannot overflow a signed long, so
+        # tokens are folded in 127-token chunks; per chunk the 8 lane-words widen into 64 int
+        # counters. Bit i of the fingerprint is set iff ones_i * 2 > n —
+        # exactly the "votes > 0" rule of the naive kernel (votes =
+        # 2*ones - n). Arithmetic shiftright is safe: the mask's highest
+        # lane reads shifted bit 56 = original bit 56+k <= 63, below the
+        # sign-fill region for every k <= 7.
         votes = F.expr(
             """
-            aggregate(
-              transform(__toks, t -> xxhash64(t)),
-              array_repeat(0L, 64),
-              (acc, h) -> transform(
-                sequence(0, 63),
-                i -> element_at(acc, i + 1)
-                     + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END),
-              acc -> aggregate(
-                transform(sequence(0, 63),
-                          i -> IF(element_at(acc, i + 1) > 0, shiftleft(1L, i), 0L)),
-                0L, (s, v) -> s | v)
-            )"""
+            IF(size(__toks) = 0, 0L,
+              element_at(transform(array(transform(__toks, t -> xxhash64(t))),
+                hs -> aggregate(
+                  transform(
+                    sequence(0, cast(ceil(size(hs) / 127.0) AS int) - 1),
+                    c -> aggregate(
+                      slice(hs, c * 127 + 1, 127),
+                      array_repeat(0L, 8),
+                      (acc, h) -> transform(
+                        sequence(0, 7),
+                        k -> element_at(acc, k + 1)
+                             + (shiftright(h, k) & 72340172838076673L)))),
+                  array_repeat(0, 64),
+                  (ones, lanes) -> transform(
+                    sequence(0, 63),
+                    i -> element_at(ones, i + 1)
+                         + cast(shiftright(element_at(lanes, (i % 8) + 1),
+                                           8 * (i div 8)) & 255L AS int)),
+                  ones -> aggregate(
+                    transform(sequence(0, 63),
+                              i -> IF(element_at(ones, i + 1) * 2 > size(hs),
+                                      shiftleft(1L, i), 0L)),
+                    0L, (s, v) -> s | v)
+                )), 1))"""
         )
         return docs.select(
             F.col(id_col).alias("doc_id"),
