@@ -478,3 +478,42 @@ def test_quantize_embeddings_bounds(spark):
     # the max-magnitude component always quantizes to +-127
     assert max(abs(c) for c in got[1]["codes"]) == 127
     assert max(abs(c) for c in got[2]["codes"]) == 127
+
+
+def test_simhash_swar_chunk_boundaries(spark):
+    """r6 SWAR kernel: fold tokens in 127-chunks, widen lanes per chunk.
+
+    Differential check against an explode-side reference that uses the SAME
+    Spark xxhash64 values but applies the naive vote rule (bit i set iff
+    2*ones_i > n) in Python — on token counts straddling the 127-token
+    chunk boundary, plus empty/single-token docs."""
+    from siteone_crawler_spark.functions.text import norm_tokens
+    from siteone_crawler_spark.operators.dedup import simhash64
+
+    counts = [0, 1, 126, 127, 128, 129, 254, 255, 300]
+    rows = [(k, " ".join(f"w{i}x{k}" for i in range(k))) for k in counts]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs, native=True).collect()}
+
+    tok_hashes = (
+        docs.select("doc_id", F.explode(norm_tokens(F.col("text"))).alias("t"))
+        .select("doc_id", F.xxhash64("t").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {k: [] for k in counts}
+    for r in tok_hashes:
+        by_doc[r["doc_id"]].append(r["h"] & (2**64 - 1))
+    for k in counts:
+        hs = by_doc[k]
+        if not hs:
+            assert got[k] == 0
+            continue
+        fp = 0
+        for i in range(64):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                fp |= 1 << i
+        if fp >= 2**63:
+            fp -= 2**64  # Spark longs are signed
+        assert got[k] == fp, f"doc with {k} tokens: {got[k]} != {fp}"

@@ -115,3 +115,25 @@ def test_bloom_builder_paths_identical(spark):
     assert set(a.bits) == set(b.bits)
     for bk in a.bits:
         assert a.bits[bk].tobytes() == b.bits[bk].tobytes()
+
+
+def test_with_global_seq_big_path_pure_catalyst(spark):
+    """r6: seq assignment on the two-pass path is pure Catalyst (offset
+    array + monotonically_increasing_id) — no Python boundary in the plan,
+    and empty partitions in the range shuffle do not shift the numbering."""
+    from siteone_crawler_spark.operators.ordering import with_global_seq
+
+    df = spark.range(500).select(
+        F.lit(0).alias("parent_seq"), F.col("id").cast("int").alias("offset")
+    )
+    # more partitions than distinct range bounds -> some partitions empty
+    ranked, n = with_global_seq(
+        df, ["parent_seq", "offset"], seq_col="seq", start=0, small_threshold=0,
+        num_partitions=64,
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan and "MapInPandas" not in plan
+    rows = ranked.orderBy("seq").collect()
+    assert n == 500
+    assert [r["seq"] for r in rows] == list(range(500))
+    assert [r["offset"] for r in rows] == list(range(500))
