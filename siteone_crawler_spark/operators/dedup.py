@@ -26,7 +26,6 @@ module is the north-rule training-data superset.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -278,100 +277,80 @@ def simhash64(
     Each token hashes to 64 bits; bit i votes +1/-1; the fingerprint is the
     sign vector. Near-dups have small Hamming distance.
 
-    Two token-hash kernels:
-    - default (md5 low half, numpy inside an Arrow batch): reproducible in
-      DuckDB, so the driver oracle can re-derive the bit voting in SQL;
-    - native=True (xxhash64, pure Catalyst lambda aggregate): zero Python in
-      the plan — the 100-TB path. Fingerprints differ between kernels (they
-      hash differently) but near-dup PAIRS agree on real near-dups
-      (tests/test_dedup.py pins this on a fixture corpus).
+    Two token-hash kernels, BOTH pure Catalyst (zero Python in the plan):
+    - default (md5 top-8-bytes, big-endian): bit-identical to the historical
+      Arrow/numpy kernel (int.from_bytes(md5(t).digest()[:8], 'big') per
+      token) and reproducible in DuckDB, so the driver oracle re-derives
+      the bit voting in SQL. The token hash is assembled natively from the
+      md5 hex string — two 32-bit conv() halves OR'd into one long, the
+      exact digest bit pattern — and fed to the same SWAR vote kernel as
+      the native arm (the kernel is hash-agnostic).
+    - native=True (xxhash64): cheapest hash, the 100-TB default.
+    Fingerprints differ between kernels (they hash differently) but
+    near-dup PAIRS agree on real near-dups (tests pin this on a fixture
+    corpus).
     """
     if native:
-        # SWAR bit-count kernel — identical fingerprints to the naive
-        # per-bit vote fold, ~8x fewer interpreted-lambda ops (HOF lambdas
-        # never reach codegen, so op count IS the cost; the naive form's
-        # 64-wide per-token transform measured ~65 s on a 100k-doc corpus
-        # with the kernel as the whole bottleneck). Layout: for shift k in
-        # 0..7, (h >> k) & 0x0101...01 drops bit (k + 8j) of the token
-        # hash into byte lane j, so adding that word into an accumulator
-        # long counts eight bit positions at once (8 ops per token instead
-        # of 64). Byte lanes must stay below 128 so 127 additions of the
-        # all-lanes word 0x0101..01 cannot overflow a signed long, so
-        # tokens are folded in 127-token chunks; per chunk the 8 lane-words widen into 64 int
-        # counters. Bit i of the fingerprint is set iff ones_i * 2 > n —
-        # exactly the "votes > 0" rule of the naive kernel (votes =
-        # 2*ones - n). Arithmetic shiftright is safe: the mask's highest
-        # lane reads shifted bit 56 = original bit 56+k <= 63, below the
-        # sign-fill region for every k <= 7.
-        votes = F.expr(
-            """
-            IF(size(__toks) = 0, 0L,
-              element_at(transform(array(transform(__toks, t -> xxhash64(t))),
-                hs -> aggregate(
-                  transform(
-                    sequence(0, cast(ceil(size(hs) / 127.0) AS int) - 1),
-                    c -> aggregate(
-                      slice(hs, c * 127 + 1, 127),
-                      array_repeat(0L, 8),
-                      (acc, h) -> transform(
-                        sequence(0, 7),
-                        k -> element_at(acc, k + 1)
-                             + (shiftright(h, k) & 72340172838076673L)))),
-                  array_repeat(0, 64),
-                  (ones, lanes) -> transform(
-                    sequence(0, 63),
-                    i -> element_at(ones, i + 1)
-                         + cast(shiftright(element_at(lanes, (i % 8) + 1),
-                                           8 * (i div 8)) & 255L AS int)),
-                  ones -> aggregate(
-                    transform(sequence(0, 63),
-                              i -> IF(element_at(ones, i + 1) * 2 > size(hs),
-                                      shiftleft(1L, i), 0L)),
-                    0L, (s, v) -> s | v)
-                )), 1))"""
+        hashes_sql = "transform(__toks, t -> xxhash64(t))"
+    else:
+        # md5 hex -> the UNSIGNED big-endian value of digest bytes [0, 8)
+        # reinterpreted as a signed long: hi = bytes 0-3 (hex chars 1-8),
+        # lo = bytes 4-7 (hex chars 9-16); (hi << 32) | lo is the exact
+        # two's-complement bit pattern, and the vote kernel only reads
+        # bits. One md5 per token (the inner transform binds the hex
+        # string, so the two conv() halves share it).
+        hashes_sql = (
+            "transform(transform(__toks, t -> md5(t)),"
+            " x -> shiftleft(cast(conv(substring(x, 1, 8), 16, 10) AS long), 32)"
+            " | cast(conv(substring(x, 9, 8), 16, 10) AS long))"
         )
-        return docs.select(
-            F.col(id_col).alias("doc_id"),
-            norm_tokens(F.col(text_col)).alias("__toks"),
-        ).select("doc_id", F.coalesce(votes, F.lit(0)).alias("simhash"))
-
-    @F.pandas_udf("long")
-    def simhash_udf(token_arrays: pd.Series) -> pd.Series:
-        import hashlib
-
-        import numpy as np
-
-        out = []
-        for toks in token_arrays:
-            if toks is None or len(toks) == 0:
-                out.append(0)
-                continue
-            hashes = np.array(
-                [
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    for t in toks
-                ],
-                dtype=np.uint64,
-            )
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    fp |= np.uint64(1) << np.uint64(i)
-            out.append(int(fp.astype(np.int64)))
-        return pd.Series(out)
-
-    # nondeterministic: stops the optimizer pushing inferred isnotnull
-    # filters below the UDF and re-evaluating it above them (two
-    # ArrowEvalPython nodes per branch — guide-§4.4 duplication, measured
-    # in the r5 simhash plan); values are of course deterministic, the
-    # flag only pins evaluation placement
-    simhash_once = simhash_udf.asNondeterministic()
+    # SWAR bit-count kernel — identical fingerprints to the naive
+    # per-bit vote fold, ~8x fewer interpreted-lambda ops (HOF lambdas
+    # never reach codegen, so op count IS the cost; the naive form's
+    # 64-wide per-token transform measured ~65 s on a 100k-doc corpus
+    # with the kernel as the whole bottleneck). Layout: for shift k in
+    # 0..7, (h >> k) & 0x0101...01 drops bit (k + 8j) of the token
+    # hash into byte lane j, so adding that word into an accumulator
+    # long counts eight bit positions at once (8 ops per token instead
+    # of 64). Byte lanes must stay below 128 so 127 additions of the
+    # all-lanes word 0x0101..01 cannot overflow a signed long, so
+    # tokens are folded in 127-token chunks; per chunk the 8 lane-words widen into 64 int
+    # counters. Bit i of the fingerprint is set iff ones_i * 2 > n —
+    # exactly the "votes > 0" rule of the naive kernel (votes =
+    # 2*ones - n). Arithmetic shiftright is safe: the mask's highest
+    # lane reads shifted bit 56 = original bit 56+k <= 63, below the
+    # sign-fill region for every k <= 7.
+    votes = F.expr(
+        f"""
+        IF(size(__toks) = 0, 0L,
+          element_at(transform(array({hashes_sql}),
+            hs -> aggregate(
+              transform(
+                sequence(0, cast(ceil(size(hs) / 127.0) AS int) - 1),
+                c -> aggregate(
+                  slice(hs, c * 127 + 1, 127),
+                  array_repeat(0L, 8),
+                  (acc, h) -> transform(
+                    sequence(0, 7),
+                    k -> element_at(acc, k + 1)
+                         + (shiftright(h, k) & 72340172838076673L)))),
+              array_repeat(0, 64),
+              (ones, lanes) -> transform(
+                sequence(0, 63),
+                i -> element_at(ones, i + 1)
+                     + cast(shiftright(element_at(lanes, (i % 8) + 1),
+                                       8 * (i div 8)) & 255L AS int)),
+              ones -> aggregate(
+                transform(sequence(0, 63),
+                          i -> IF(element_at(ones, i + 1) * 2 > size(hs),
+                                  shiftleft(1L, i), 0L)),
+                0L, (s, v) -> s | v)
+            )), 1))"""
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash_once(norm_tokens(F.col(text_col))).alias("simhash"),
-    )
+        norm_tokens(F.col(text_col)).alias("__toks"),
+    ).select("doc_id", F.coalesce(votes, F.lit(0)).alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -219,54 +219,54 @@ def security_findings(
         ],
     ]
 
-    base = visited.filter(F.col(headers_col).isNotNull()).select(
-        F.col(url_col).alias("url"),
-        https.alias("is_https"),
-        h.alias("__h"),
-        F.explode(F.array(*findings)).alias("f"),
+    # Set-Cookie: one finding PER cookie line; value = cookie name; the
+    # flag checks assign in order samesite->notice, httponly->warning,
+    # (https) secure->critical — later assignments override (rs:687-760).
+    # Folded into the SAME projection/explode as the 13 header checks (an
+    # array-of-struct transform over the cookie lines, concat'd onto the
+    # findings array): one parquet scan and ONE evaluation of the headers
+    # map per row instead of a union of two full passes — the row multiset
+    # is unchanged, so the severity aggregate downstream is identical.
+    def cookie_sev(c):
+        lower = F.lower(c)
+        return (
+            F.when(https & ~lower.contains("secure"), SEVERITY_CRITICAL)
+            .when(~lower.contains("httponly"), SEVERITY_WARNING)
+            .when(~lower.contains("samesite"), SEVERITY_NOTICE)
+            .otherwise(SEVERITY_OK)
+        )
+
+    cookie_lines = F.filter(
+        F.transform(F.split(g("set-cookie"), "\n"), F.trim),
+        lambda c: c != F.lit(""),
     )
-    header_rows = base.filter(F.col("f.severity").isNotNull()).select(
-        "url",
+    cookie_findings = F.when(
+        g("set-cookie").isNotNull(),
+        F.transform(
+            cookie_lines,
+            lambda c: F.struct(
+                F.lit("set-cookie").alias("header"),
+                F.split(c, "=").getItem(0).alias("value"),
+                cookie_sev(c).cast("int").alias("severity"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<header:string,value:string,severity:int>>"))
+
+    # NB the url column is aliased to a fresh name ("__u", renamed back one
+    # select later): the finding expressions reference url_col inside
+    # higher-order-function lambdas, and aliasing the SAME name in the same
+    # select trips Spark's lateral-column-alias resolution inside lambda
+    # bodies (INTERNAL_ERROR: unresolved LateralColumnAliasReference).
+    base = visited.filter(F.col(headers_col).isNotNull()).select(
+        F.col(url_col).alias("__u"),
+        F.explode(F.concat(F.array(*findings), cookie_findings)).alias("f"),
+    )
+    return base.filter(F.col("f.severity").isNotNull()).select(
+        F.col("__u").alias("url"),
         F.col("f.header").alias("header"),
         F.col("f.value").alias("value"),
         F.col("f.severity").alias("severity"),
     )
-
-    # Set-Cookie: one finding PER cookie line; value = cookie name; the
-    # flag checks assign in order samesite->notice, httponly->warning,
-    # (https) secure->critical — later assignments override (rs:687-760)
-    sc = visited.filter(
-        F.col(headers_col).isNotNull()
-        & F.element_at(F.col(headers_col), F.lit("set-cookie")).isNotNull()
-    ).select(
-        F.col(url_col).alias("url"),
-        https.alias("is_https"),
-        F.explode(
-            F.filter(
-                F.transform(
-                    F.split(
-                        F.element_at(F.col(headers_col), F.lit("set-cookie")), "\n"
-                    ),
-                    F.trim,
-                ),
-                lambda c: c != F.lit(""),
-            )
-        ).alias("cookie"),
-    )
-    lower = F.lower(F.col("cookie"))
-    cookie_sev = (
-        F.when(F.col("is_https") & ~lower.contains("secure"), SEVERITY_CRITICAL)
-        .when(~lower.contains("httponly"), SEVERITY_WARNING)
-        .when(~lower.contains("samesite"), SEVERITY_NOTICE)
-        .otherwise(SEVERITY_OK)
-    )
-    cookie_rows = sc.select(
-        "url",
-        F.lit("set-cookie").alias("header"),
-        F.split(F.col("cookie"), "=").getItem(0).alias("value"),
-        cookie_sev.cast("int").alias("severity"),
-    )
-    return header_rows.unionByName(cookie_rows)
 
 
 def security_stats(
